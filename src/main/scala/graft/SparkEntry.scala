@@ -1,13 +1,354 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
+import graft.spark.{KgEngine, SynthPages, TrainingOps}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the training-data ops), with DuckDB oracle SQL where the
+  * semantics are ANSI-expressible. Column names are aligned between the
+  * Spark plan and the oracle; aggregates use DECIMAL so sums are
+  * order-independent and hash-stable.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full KG construction (synth pages → canonical triples). */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = t(spark, "/root/testdata/sf0.001", "documents")
+    KgEngine.extractCanonical(spark, SynthPages.fromDocuments(docs)).toDF()
+  }
+
+  private val dec = "decimal(18,2)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------- relational core ----------
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          F.sum(F.col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
+          F.sum(F.col("l_extendedprice").cast(dec)).cast(dec).as("sum_price"),
+          F.count(F.lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q2_join_broadcast" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(F.broadcast(t(s, dir, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          F.count(F.lit(1)).as("n_orders"),
+          F.sum(F.col("o_totalprice").cast(dec)).cast(dec).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+    "q3_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+    "q4_star_join" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), F.col("l_orderkey") === F.col("o_orderkey"))
+        .join(F.broadcast(t(s, dir, "customer")), F.col("o_custkey") === F.col("c_custkey"))
+        .join(F.broadcast(t(s, dir, "nation")), F.col("c_nationkey") === F.col("n_nationkey"))
+        .join(F.broadcast(t(s, dir, "region")), F.col("n_regionkey") === F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          F.count(F.lit(1)).as("n_items"),
+          F.sum(F.col("l_quantity").cast(dec)).cast(dec).as("sum_qty"))
+        .orderBy("r_name")
+    }),
+    "q5_events_daily" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(F.col("event_type"), F.date_trunc("day", F.col("ts")).as("day"))
+        .agg(
+          F.count(F.lit(1)).as("n"),
+          F.sum(F.col("value").cast(dec)).cast(dec).as("total_value"))
+        .orderBy("event_type", "day")
+    }),
+    "q6_sessions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("tsec", F.unix_timestamp(F.col("ts")))
+      val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      ev.withColumn("gap", F.col("tsec") - F.lag("tsec", 1).over(w))
+        .withColumn("new_session",
+          F.when(F.col("gap").isNull || F.col("gap") > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+          F.count(F.lit(1)).as("n_events"),
+          F.sum("new_session").as("n_sessions"))
+        .orderBy("user_id")
+    }),
+    "q7_window_top_order" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") === 1)
+        .select(F.col("o_custkey"), F.col("o_orderkey"), F.col("o_totalprice"))
+        .orderBy("o_custkey")
+    }),
+
+    // ---------- text analysis ----------
+    "doc_token_stats" -> ((s, dir) => TrainingOps.tokenStats(t(s, dir, "documents"))),
+    "doc_quality" -> ((s, dir) =>
+      TrainingOps.qualityScores(t(s, dir, "documents")).orderBy("doc_id")),
+    "doc_langid" -> ((s, dir) =>
+      TrainingOps.langIdHeuristic(t(s, dir, "documents")).orderBy("doc_id")),
+    "doc_fingerprint" -> ((s, dir) =>
+      TrainingOps.fingerprints(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // ---------- deduplication ----------
+    "dedup_exact" -> ((s, dir) =>
+      TrainingOps.dedupExact(t(s, dir, "documents")).orderBy("content_hash")),
+    "dedup_minhash" -> ((s, dir) => {
+      // double the corpus so every doc has one exact duplicate; MinHash+LSH
+      // generates candidates, exact-hash verification confirms
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val n = docs.count()
+      val doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + F.lit(n)).as("doc_id"), F.col("text")))
+      val cand = TrainingOps.minhashBands(doubled).toDF()
+      val withHash = doubled.withColumn("h", F.md5(F.col("text")))
+      val pairs = cand.as("l").join(cand.as("r"),
+          F.col("l.band") === F.col("r.band") && F.col("l.key") === F.col("r.key") &&
+          F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").as("a"), F.col("r.doc_id").as("b")).distinct()
+      pairs
+        .join(withHash.select(F.col("doc_id").as("a"), F.col("h").as("ha")), "a")
+        .join(withHash.select(F.col("doc_id").as("b"), F.col("h").as("hb")), "b")
+        .where(F.col("ha") === F.col("hb"))
+        .select("a", "b")
+        .orderBy("a", "b")
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val n = docs.count()
+      val doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + F.lit(n)).as("doc_id"), F.col("text")))
+      TrainingOps.simhashPairs(doubled, maxDist = 0).orderBy("a", "b")
+    }),
+
+    // ---------- similarity search ----------
+    "ann_brute" -> ((s, dir) =>
+      TrainingOps.annBruteForce(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
+    "ann_lsh" -> ((s, dir) =>
+      TrainingOps.annLsh(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
+
+    // ---------- multimodal plumbing ----------
+    "multimodal_decode" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(F.col("doc_id"), F.col("text").cast("binary").as("blob"))
+      TrainingOps.decodeMediaBatch(s, media).toDF().orderBy("doc_id")
+    }),
+
+    // ---------- knowledge-graph construction ----------
+    "kg_canonical" -> ((s, dir) => {
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      KgEngine.extractCanonical(s, pages).toDF()
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred")
+    }),
+    "kg_edges" -> ((s, dir) => {
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      KgEngine.edges(KgEngine.extractCanonical(s, pages))
+        .select("src", "pred", "dst")
+        .orderBy("src", "pred")
+    }),
+    "kg_raw_triples" -> ((s, dir) => {
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      KgEngine.extractRaw(s, pages).toDF()
+        .select("subj", "pred", "obj", "certainty")
+        .orderBy("subj", "pred", "certainty")
+    }),
+    "kg_canonicalize_agg" -> ((s, dir) => {
+      // the Catalyst-native lattice argmax over a raw triple stream
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      KgEngine.canonicalize(KgEngine.extractRaw(s, pages))
+        .select("subj", "pred", "obj", "certainty")
+        .orderBy("subj", "pred")
+    }),
+    "kg_mentions_linking" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val registry = s.createDataFrame(Seq(
+        ("spark", "ent_spark"), ("join", "ent_join"),
+        ("merge", "ent_merge"), ("vector", "ent_vector")
+      )).toDF("term", "entity_id")
+      val padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+      val mentions = Seq("spark", "join", "merge", "vector")
+        .map(term => docs
+          .where(padded.contains(s" $term "))
+          .select(F.col("doc_id").cast("long").as("subj"), F.lit(term).as("term")))
+        .reduce(_ unionByName _)
+      KgEngine.linkEntities(mentions.withColumn("subj", F.col("subj").cast("string")), registry)
+        .select("subj", "term", "entity_id")
+        .orderBy("subj", "term")
+    }),
+    "kg_lineage" -> ((s, dir) => {
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      KgEngine.lineage(s, pages).toDF()
+        .groupBy()
+        .agg(F.sum("input_rows").as("input_rows"), F.sum("emitted").as("emitted"))
+    }),
+    "kg_resume" -> ((s, dir) => {
+      // resume: buckets 0..3 of 8 already committed → only the rest re-emits
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val remaining = KgEngine.resumeFilter(pages, completedBuckets = Seq(0, 1, 2, 3), buckets = 8)
+      KgEngine.extractCanonical(s, remaining).toDF()
+        .groupBy().agg(F.count(F.lit(1)).as("n_triples"),
+          F.countDistinct("subj").as("n_subjects"))
+    })
+  )
+
+  /** DuckDB oracles. The synthesized page content is a pure function of
+    * doc_id, so even the full KG pipeline has an exact relational oracle.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+         count(*) AS n
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q2_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "q3_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q4_star_join" ->
+      """SELECT r_name, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "q5_events_daily" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q6_sessions" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec FROM events
+         ), gaps AS (
+           SELECT user_id,
+                  tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS gap
+           FROM ev
+         )
+         SELECT user_id, count(*) AS n_events,
+                CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+         FROM gaps GROUP BY 1 ORDER BY 1""",
+    "q7_window_top_order" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
+    "doc_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+         CAST(sum(length(list_distinct(string_split(text, ' ')))) AS BIGINT) AS total_distinct
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "doc_quality" ->
+      """SELECT doc_id, length(text) AS n_chars_actual,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+         length(list_distinct(string_split(text, ' '))) AS n_distinct,
+         n_chars = length(text) AS chars_consistent
+         FROM documents ORDER BY doc_id""",
+    "doc_langid" ->
+      """SELECT doc_id, lang AS declared_lang,
+         CAST(((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' '))) // 4
+             + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ' '))) // 2)
+             * 1000 // (length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+           AS stopword_permille,
+         (((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' '))) // 4
+             + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ' '))) // 2)
+             * 1000 // (length(text) - length(replace(text, ' ', '')) + 1)) >= 40
+           AS looks_english
+         FROM documents ORDER BY doc_id""",
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+         substring(md5(text), 1, 16) AS short_id
+         FROM documents ORDER BY doc_id""",
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "dedup_minhash" ->
+      """WITH all_docs AS (
+           SELECT doc_id, md5(text) AS h FROM documents
+           UNION ALL
+           SELECT doc_id + (SELECT count(*) FROM documents), md5(text) FROM documents
+         )
+         SELECT l.doc_id AS a, r.doc_id AS b
+         FROM all_docs l JOIN all_docs r ON l.h = r.h AND l.doc_id < r.doc_id
+         ORDER BY 1, 2""",
+    "multimodal_decode" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         CAST(1 + octet_length(encode(text)) % 640 AS INT) AS width,
+         CAST(1 + octet_length(encode(text)) % 480 AS INT) AS height,
+         md5(text) AS checksum
+         FROM documents ORDER BY doc_id""",
+    "kg_canonical" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+         expected AS (
+           SELECT 'https://replay.invalid/proj'||doc_id||'/' AS subj, 'Bug-Database' AS pred,
+                  'https://github.com/org'||(doc_id%97)||'/proj'||doc_id||'/issues' AS obj FROM d
+           UNION ALL
+           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Bug-Submit',
+                  'https://github.com/org'||(doc_id%97)||'/proj'||doc_id||'/issues/new' FROM d
+           UNION ALL
+           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Description', text||chr(10) FROM d
+           UNION ALL
+           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Homepage',
+                  'https://proj'||doc_id||'.example.com/' FROM d
+           UNION ALL
+           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Name', 'proj'||doc_id FROM d
+           UNION ALL
+           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Repository',
+                  'https://github.com/org'||(doc_id%97)||'/proj'||doc_id||'.git' FROM d
+           UNION ALL
+           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Repository-Browse',
+                  'https://github.com/org'||(doc_id%97)||'/proj'||doc_id FROM d
+           UNION ALL
+           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Summary', 'Tool number '||doc_id FROM d
+           UNION ALL
+           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Version',
+                  '1.'||(doc_id%10)||'.0' FROM d
+         )
+         SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
+    "kg_edges" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         expected AS (
+           SELECT 'https://replay.invalid/proj'||doc_id||'/' AS src, 'Bug-Database' AS pred,
+                  'https://github.com/org'||(doc_id%97)||'/proj'||doc_id||'/issues' AS dst FROM d
+           UNION ALL
+           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Bug-Submit',
+                  'https://github.com/org'||(doc_id%97)||'/proj'||doc_id||'/issues/new' FROM d
+           UNION ALL
+           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Homepage',
+                  'https://proj'||doc_id||'.example.com/' FROM d
+           UNION ALL
+           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Repository',
+                  'https://github.com/org'||(doc_id%97)||'/proj'||doc_id||'.git' FROM d
+           UNION ALL
+           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Repository-Browse',
+                  'https://github.com/org'||(doc_id%97)||'/proj'||doc_id FROM d
+         )
+         SELECT src, pred, dst FROM expected ORDER BY src, pred""",
+    "kg_mentions_linking" ->
+      """SELECT CAST(d.doc_id AS VARCHAR) AS subj, t.term, t.entity_id
+         FROM documents d
+         JOIN (VALUES ('spark','ent_spark'), ('join','ent_join'),
+                      ('merge','ent_merge'), ('vector','ent_vector')) t(term, entity_id)
+           ON ' '||d.text||' ' LIKE '%'||' '||t.term||' '||'%'
+         ORDER BY 1, 2"""
+  )
 }

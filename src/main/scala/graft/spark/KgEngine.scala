@@ -1,0 +1,245 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
+import graft.core._
+import graft.pipeline.Summarize
+import Model._
+
+/** The Spark-native knowledge-graph construction engine.
+  *
+  * Plan shape (scale rationale):
+  *
+  * {{{
+  * pages (url, warc_ts, html, text, lang)           -- 100 TB scan
+  *  └─ filter isCandidate(relpath)                  -- narrow; drops the bulk
+  *  └─ project (subj, relpath, text)                -- column pruning: html
+  *                                                      and non-candidate text
+  *                                                      never shuffle
+  *  └─ groupByKey(subj) . flatMapGroups(summarize)  -- SHUFFLE #1 (small):
+  *        extract → certainty merge → extrapolation  -- fixpoint is per-key
+  *        fixpoint → URL fixes                       -- local state, no driver
+  *                                                      loop, no re-shuffles
+  *  └─ triples / nodes / edges / lineage sinks
+  * }}}
+  *
+  * The one mandatory shuffle carries only candidate metadata/README files
+  * (KBs per subject). The per-(subj,pred) canonicalization for already-
+  * extracted triple streams is also exposed as a pure Catalyst aggregate
+  * (`canonicalize`, max_by over a (certainty, arrival) struct — the lattice
+  * argmax of SURVEY §2.4).
+  */
+object KgEngine {
+
+  /** Mirrors find_guessers' candidate patterns (src/lib.rs:3083-3440): a page
+    * participates in extraction iff its relpath matches one of these.
+    */
+  def isCandidate(relpath: String): Boolean = {
+    if (relpath.isEmpty) return false
+    val base = relpath.substring(relpath.lastIndexOf('/') + 1)
+    val lc = base.toLowerCase
+    if (staticNames.contains(relpath)) return true
+    if (relpath == "debian/source/format") return true // is_native context
+    if (relpath.startsWith("debian/patches/") && relpath.endsWith(".patch")) return true
+    if (securityNames.contains(relpath)) return true
+    // egg-info / dist-info
+    relpath.split('/') match {
+      case Array(d, "PKG-INFO") if d.endsWith(".egg-info")  => return true
+      case Array(d, "METADATA") if d.endsWith(".dist-info") => return true
+      case Array(_, "DESCRIPTION")                          => return true
+      case _                                                =>
+    }
+    if (relpath.contains('/')) return false
+    if (base == "setup.py") return true
+    if (base.endsWith(".gemspec") || base.endsWith(".doap") ||
+        (base.endsWith(".xml") && base.startsWith("doap_XML_")) ||
+        base.endsWith(".metainfo.xml") || base.endsWith(".cabal") ||
+        base.endsWith(".nuspec") || base.endsWith(".opam")) return true
+    if ((lc.startsWith("readme") || lc.startsWith("hacking") ||
+         lc.startsWith("contributing")) && !base.endsWith("~")) {
+      val dot = base.lastIndexOf('.')
+      val ext = if (dot <= 0) "" else base.substring(dot + 1).toLowerCase
+      return ext != "html" && ext != "pdf" && ext != "xml"
+    }
+    false
+  }
+
+  private val staticNames: Set[String] = Set(
+    "debian/watch", "debian/control", "debian/changelog", "debian/rules",
+    "PKG-INFO", "package.json", "composer.json", "package.xml", "package.yaml",
+    "dist.ini", "debian/copyright", "META.json", "MYMETA.json", "META.yml",
+    "MYMETA.yml", "configure", "DESCRIPTION", "Cargo.toml", "pom.xml",
+    ".git/config", "debian/get-orig-source.sh", "pyproject.toml", "setup.cfg",
+    "go.mod", "Makefile.PL", "wscript", "AUTHORS", "INSTALL", "pubspec.yaml",
+    "pubspec.yml", "meson.build", "metadata.json", ".travis.yml")
+
+  private val securityNames: Set[String] =
+    Set("SECURITY.md", ".github/SECURITY.md", "docs/SECURITY.md")
+
+  /** Splits a page url into (subj, relpath): subj = scheme://host/seg1/,
+    * relpath = the rest (the replay.invalid convention of FIXTURES.md §1).
+    */
+  def splitSubject(url: String): Option[(String, String)] = {
+    val schemeEnd = url.indexOf("://")
+    if (schemeEnd < 0) return None
+    val hostStart = schemeEnd + 3
+    val hostEnd = url.indexOf('/', hostStart)
+    if (hostEnd < 0) return None
+    val projEnd = url.indexOf('/', hostEnd + 1)
+    if (projEnd < 0) return None
+    Some((url.substring(0, projEnd + 1), url.substring(projEnd + 1)))
+  }
+
+  private def subjBasename(subj: String): String = {
+    val t = subj.reverse.dropWhile(_ == '/').reverse
+    t.substring(t.lastIndexOf('/') + 1)
+  }
+
+  /** pages → canonical triples: the flagship KG construction job. */
+  def extractCanonical(spark: SparkSession, pages: DataFrame): Dataset[CanonTriple] = {
+    import spark.implicits._
+    pages
+      .select(F.col("url"), F.col("text"))
+      .as[(String, String)]
+      .flatMap { case (url, text) =>
+        if (text == null) None
+        else splitSubject(url).filter(sr => isCandidate(sr._2))
+          .map { case (s, r) => (s, r, text) }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (subj, it) =>
+        val files = it.map(t => t._2 -> t._3).toMap
+        val (metadata, _) = Summarize.summarize(files, subjBasename(subj))
+        metadata.iterator.map { dt =>
+          val (obj, objJson) = objForms(dt.value)
+          CanonTriple(subj, dt.field, obj, objJson,
+            dt.certainty.getOrElse(-1), dt.origin.getOrElse(""))
+        }
+      }
+  }
+
+  /** pages → raw (pre-merge) triples: the scan-mode surface. `guesser_rank`
+    * and `seq` encode arrival order deterministically so canonicalize() can
+    * reproduce first-wins ties without relying on execution order.
+    */
+  def extractRaw(spark: SparkSession, pages: DataFrame): Dataset[RawTriple] = {
+    import spark.implicits._
+    pages
+      .select(F.col("url"), F.col("text"))
+      .as[(String, String)]
+      .flatMap { case (url, text) =>
+        if (text == null) None
+        else splitSubject(url).filter(sr => isCandidate(sr._2))
+          .map { case (s, r) => (s, r, text) }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (subj, it) =>
+        val files = it.map(t => t._2 -> t._3).toMap
+        val raw = Summarize.extractRaw(files, subjBasename(subj))
+        raw.iterator.zipWithIndex.map { case (dt, i) =>
+          val (obj, objJson) = objForms(dt.value)
+          RawTriple(subj, dt.field, obj, objJson,
+            dt.certainty.getOrElse(-1), dt.origin.getOrElse(""), 0, i)
+        }
+      }
+  }
+
+  /** The certainty-lattice canonicalization as a pure Catalyst aggregate:
+    * one row per (subj, pred); highest certainty wins; ties resolve to
+    * first arrival (lowest guesser_rank, seq) — max_by over a struct whose
+    * ordering is (certainty, -rank, -seq). Map-side partial aggregation and
+    * AQE handle skew; no custom Aggregator needed (SURVEY §2.4).
+    */
+  def canonicalize(raw: Dataset[RawTriple]): DataFrame = {
+    raw.groupBy("subj", "pred")
+      .agg(F.max_by(
+        F.struct("obj", "obj_json", "certainty", "origin"),
+        F.struct(
+          F.col("certainty"),
+          F.negate(F.col("guesser_rank")),
+          F.negate(F.col("seq")))).as("best"))
+      .select(
+        F.col("subj"), F.col("pred"),
+        F.col("best.obj").as("obj"),
+        F.col("best.obj_json").as("obj_json"),
+        F.col("best.certainty").as("certainty"),
+        F.col("best.origin").as("origin"))
+  }
+
+  /** Graph materialization: URL-typed objects become edges; subjects and URL
+    * objects become nodes (SURVEY §1.3).
+    */
+  def edges(canon: Dataset[CanonTriple]): DataFrame = {
+    import canon.sparkSession.implicits._
+    canon.toDF()
+      .where(F.col("pred").isin(Fields.urlTyped.toSeq.map(x => x: Any): _*) &&
+             F.col("obj").startsWith("http"))
+      .select(
+        F.col("subj").as("src"),
+        F.col("pred"),
+        F.col("obj").as("dst"),
+        F.col("certainty"))
+  }
+
+  def nodes(canon: Dataset[CanonTriple]): DataFrame = {
+    val e = edges(canon)
+    val subjects = e.select(F.col("src").as("id")).distinct()
+      .withColumn("kind", F.lit("subject"))
+    val objects = e.select(F.col("dst").as("id")).distinct()
+      .withColumn("kind", F.lit("url"))
+    subjects.unionByName(objects)
+      .groupBy("id").agg(F.min("kind").as("kind"))
+  }
+
+  /** Per-partition lineage row: (partition_id, input_rows, emitted). */
+  final case class LineageRow(partition_id: Int, input_rows: Long, emitted: Long)
+
+  def lineage(spark: SparkSession, pages: DataFrame): Dataset[LineageRow] = {
+    import spark.implicits._
+    pages.select(F.col("url")).as[String].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var n = 0L
+      var emitted = 0L
+      it.foreach { url =>
+        n += 1
+        if (splitSubject(url).exists(sr => isCandidate(sr._2))) emitted += 1
+      }
+      Iterator.single(LineageRow(pid, n, emitted))
+    }
+  }
+
+  /** Entity linking: join mention keys against a small registry with the
+    * broadcast-then-salt pattern of the north rule. The registry is
+    * replicated `salt` times on the broadcast side; the probe side picks a
+    * deterministic salt per row, so hot keys fan out across tasks even when
+    * AQE's skew handling is off.
+    */
+  def linkEntities(
+      mentions: DataFrame,   // (subj, term)
+      registry: DataFrame,   // (term, entity_id)
+      salt: Int = 8
+  ): DataFrame = {
+    val salted = registry
+      .withColumn("salt", F.explode(F.array((0 until salt).map(F.lit): _*)))
+    val probe = mentions
+      .withColumn("salt", F.pmod(F.xxhash64(F.col("subj")), F.lit(salt)).cast("int"))
+    probe.join(F.broadcast(salted), Seq("term", "salt"), "inner")
+      .drop("salt")
+  }
+
+  /** Resume manifest: subjects hash into `buckets`; completed buckets are
+    * recorded in a manifest table, and a restarted job anti-joins them away
+    * without re-emitting committed partitions (north rule).
+    */
+  def bucketOf(subjCol: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    F.pmod(F.xxhash64(subjCol), F.lit(buckets)).cast("int")
+
+  def resumeFilter(
+      pages: DataFrame,
+      completedBuckets: Seq[Int],
+      buckets: Int
+  ): DataFrame = {
+    val subjCol = F.udf((url: String) =>
+      splitSubject(url).map(_._1).getOrElse("")).apply(F.col("url"))
+    pages.where(!bucketOf(subjCol, buckets).isin(completedBuckets.map(x => x: Any): _*))
+  }
+}

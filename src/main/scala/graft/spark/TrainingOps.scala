@@ -1,0 +1,326 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * tables: deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard),
+  * approximate nearest neighbors, text analysis, and multimodal plumbing.
+  * All deterministic (seeded hash mixes, no RNG), all expressed so filters
+  * and projections push to the parquet scan.
+  */
+object TrainingOps {
+
+  // ---------- deduplication ----------
+
+  /** Exact dedup via content hash: one row per distinct text with its
+    * cardinality and the kept (minimum) doc_id.
+    */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents.groupBy(F.md5(F.col("text")).as("content_hash"))
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.min("doc_id").as("keep_id"))
+
+  /** 64-bit deterministic hash mix (splitmix64 finalizer). */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  private def shingles(text: String, n: Int): Iterator[Long] = {
+    val words = text.split(' ')
+    if (words.length < n) Iterator.single(mix64(text.hashCode.toLong))
+    else words.sliding(n).map(w => mix64(w.mkString(" ").hashCode.toLong))
+  }
+
+  final case class MinHashSig(doc_id: Long, band: Int, key: Long)
+
+  /** MinHash+LSH candidate generation: word `n`-gram shingles → `k` minhash
+    * values → `bands` bands hashed to bucket keys. A join on (band, key)
+    * yields candidate pairs without a cross product; verification computes
+    * true Jaccard on the candidates only.
+    */
+  def minhashBands(
+      documents: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      shingleN: Int = 3
+  ): Dataset[MinHashSig] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val rows = bands
+    val perBand = k / bands
+    documents.select(F.col("doc_id").cast("long"), F.col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = Array.fill(k)(Long.MaxValue)
+        shingles(text, shingleN).foreach { sh =>
+          var i = 0
+          while (i < k) {
+            val h = mix64(sh ^ (0x1234567890ABCDEFL * (i + 1)))
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+        }
+        (0 until rows).iterator.map { b =>
+          var key = 0L
+          var i = 0
+          while (i < perBand) { key = mix64(key ^ sig(b * perBand + i)); i += 1 }
+          MinHashSig(id, b, key)
+        }
+      }
+  }
+
+  /** Candidate pairs from LSH buckets, verified with exact token-set Jaccard
+    * ≥ `threshold`. Output: (a, b, jaccard) with a < b.
+    */
+  def minhashDedupPairs(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val spark = documents.sparkSession
+    val sigs = minhashBands(documents).toDF()
+    val cand = sigs.as("l").join(sigs.as("r"),
+        F.col("l.band") === F.col("r.band") &&
+        F.col("l.key") === F.col("r.key") &&
+        F.col("l.doc_id") < F.col("r.doc_id"))
+      .select(F.col("l.doc_id").as("a"), F.col("r.doc_id").as("b"))
+      .distinct()
+    val docs = documents.select(
+      F.col("doc_id").cast("long"),
+      F.array_distinct(F.split(F.col("text"), " ")).as("toks"))
+    cand
+      .join(docs.withColumnRenamed("doc_id", "a").withColumnRenamed("toks", "ta"), "a")
+      .join(docs.withColumnRenamed("doc_id", "b").withColumnRenamed("toks", "tb"), "b")
+      .withColumn("inter", F.size(F.array_intersect(F.col("ta"), F.col("tb"))))
+      .withColumn("uni", F.size(F.array_union(F.col("ta"), F.col("tb"))))
+      .where(F.col("uni") > 0)
+      .withColumn("jaccard", F.col("inter").cast("double") / F.col("uni"))
+      .where(F.col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** 64-bit SimHash over word frequencies. */
+  def simhash(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(F.col("doc_id").cast("long"), F.col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val acc = new Array[Int](64)
+        text.split(' ').foreach { w =>
+          val h = mix64(w.hashCode.toLong)
+          var i = 0
+          while (i < 64) {
+            if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+            i += 1
+          }
+        }
+        var sh = 0L
+        var i = 0
+        while (i < 64) { if (acc(i) > 0) sh |= (1L << i); i += 1 }
+        (id, sh)
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist, blocked on the
+    * 4 16-bit chunks (a pair within distance 3 shares at least one chunk).
+    */
+  def simhashPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sh = simhash(documents).as[(Long, Long)]
+    val chunked = sh.flatMap { case (id, h) =>
+      (0 until 4).iterator.map(c => (id, h, c, (h >>> (c * 16)) & 0xFFFFL))
+    }.toDF("doc_id", "simhash", "chunk", "key")
+    val cand = chunked.as("l").join(chunked.as("r"),
+        F.col("l.chunk") === F.col("r.chunk") && F.col("l.key") === F.col("r.key") &&
+        F.col("l.doc_id") < F.col("r.doc_id"))
+      .select(
+        F.col("l.doc_id").as("a"), F.col("r.doc_id").as("b"),
+        F.col("l.simhash").as("ha"), F.col("r.simhash").as("hb"))
+      .distinct()
+    cand.withColumn("dist", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+      .where(F.col("dist") <= maxDist)
+      .select("a", "b", "dist")
+  }
+
+  // ---------- similarity search (embeddings) ----------
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Brute-force cosine top-k for the query vectors with vec_id < nQueries.
+    * Queries broadcast; one pass over the corpus per partition with a
+    * per-query bounded heap — no shuffle until the final per-query top-k
+    * merge (tiny).
+    */
+  def annBruteForce(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val ds = embeddings.select(F.col("vec_id").cast("long"), F.col("embedding"))
+      .as[(Long, Array[Float])]
+    val queries = ds.filter(_._1 < nQueries).collect()
+    val bq = spark.sparkContext.broadcast(queries)
+    val scored = ds.mapPartitions { it =>
+      val qs = bq.value
+      it.flatMap { case (id, v) =>
+        qs.iterator.filter(_._1 != id).map { case (qid, qv) =>
+          (qid, id, cosine(qv, v))
+        }
+      }
+    }.toDF("query_id", "vec_id", "cosine")
+    val w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    scored.withColumn("rank", F.row_number().over(w))
+      .where(F.col("rank") <= k)
+      .select("query_id", "rank", "vec_id")
+  }
+
+  /** LSH-bucketed ANN (the scale path): random-hyperplane signatures from a
+    * deterministic seed bucket the corpus; candidates = same bucket in any
+    * of `tables` hash tables; top-k among candidates.
+    */
+  def annLsh(
+      embeddings: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 10,
+      planes: Int = 8,
+      tables: Int = 4
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = 64
+    // deterministic pseudo-random hyperplanes
+    val hp = Array.tabulate(tables, planes, dim) { (t, p, d) =>
+      val h = mix64((t.toLong << 40) ^ (p.toLong << 20) ^ d.toLong)
+      (h.toDouble / Long.MaxValue.toDouble).toFloat
+    }
+    def signature(v: Array[Float], t: Int): Int = {
+      var sig = 0
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var d = 0
+        while (d < dim) { dot += v(d) * hp(t)(p)(d); d += 1 }
+        if (dot > 0) sig |= (1 << p)
+        p += 1
+      }
+      sig
+    }
+    val ds = embeddings.select(F.col("vec_id").cast("long"), F.col("embedding"))
+      .as[(Long, Array[Float])]
+    val bucketed = ds.flatMap { case (id, v) =>
+      (0 until tables).iterator.map(t => (id, t, signature(v, t)))
+    }.toDF("vec_id", "table", "sig")
+    val queries = bucketed.where(F.col("vec_id") < nQueries)
+      .withColumnRenamed("vec_id", "query_id")
+    val cand = queries.join(bucketed, Seq("table", "sig"))
+      .where(F.col("query_id") =!= F.col("vec_id"))
+      .select("query_id", "vec_id").distinct()
+    val vecs = ds.toDF("vec_id", "embedding")
+    val qvecs = ds.toDF("query_id", "qembedding")
+    val cosUdf = F.udf((a: Array[Float], b: Array[Float]) => cosine(a, b))
+    val scored = cand
+      .join(F.broadcast(qvecs.where(F.col("query_id") < nQueries)), "query_id")
+      .join(vecs, "vec_id")
+      .withColumn("cosine", cosUdf(F.col("qembedding"), F.col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    scored.withColumn("rank", F.row_number().over(w))
+      .where(F.col("rank") <= k)
+      .select("query_id", "rank", "vec_id")
+  }
+
+  // ---------- text analysis ----------
+
+  /** Whitespace token counting + vocabulary stats per language. Pure integer
+    * arithmetic so the DuckDB oracle matches exactly.
+    */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_tokens",
+        (F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), " ", "")) + F.lit(1))
+          .cast("long"))
+      .withColumn("n_distinct",
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long"))
+      .groupBy("lang")
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum("n_tokens").as("total_tokens"),
+        F.sum("n_distinct").as("total_distinct"))
+      .orderBy("lang")
+
+  /** Per-document quality scoring: length sanity, vocabulary richness,
+    * mean token length. Integer/exact arithmetic only.
+    */
+  def qualityScores(documents: DataFrame): DataFrame =
+    documents.select(
+      F.col("doc_id"),
+      F.length(F.col("text")).cast("long").as("n_chars_actual"),
+      (F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), " ", "")) + F.lit(1))
+        .cast("long").as("n_tokens"),
+      F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long").as("n_distinct"),
+      (F.col("n_chars") === F.length(F.col("text"))).as("chars_consistent"))
+
+  /** Stopword-ratio language-ID heuristic: per mille of 'the'/'a' tokens;
+    * classify en-like when above threshold.
+    */
+  def langIdHeuristic(documents: DataFrame): DataFrame = {
+    // integer-division arithmetic throughout so the DuckDB `//` oracle is exact
+    val permille = F.expr(
+      """CAST((((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' '))) div 4
+            + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ' '))) div 2)
+            * 1000) div (length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)""")
+    documents.select(
+      F.col("doc_id"),
+      F.col("lang").as("declared_lang"),
+      permille.as("stopword_permille"))
+      .withColumn("looks_english", F.col("stopword_permille") >= 40)
+  }
+
+  /** Document fingerprint: stable 128-bit content id + 16-char prefix id. */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      F.col("doc_id"),
+      F.md5(F.col("text")).as("content_hash"),
+      F.substring(F.md5(F.col("text")), 1, 16).as("short_id"))
+
+  // ---------- multimodal plumbing ----------
+
+  final case class MediaFeature(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int, checksum: String)
+
+  /** Multimodal decode plumbing: media arrives as opaque binary; decode runs
+    * batched per partition. The actual image decode is STUBBED with a
+    * deterministic fake (no codecs in this container) — the Spark-side
+    * contract (binary column in, typed feature rows out, batched
+    * per-partition execution) is real.
+    */
+  def decodeMediaBatch(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.select(F.col("doc_id").cast("long"), F.col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          // STUB: a real implementation hands `batch` to a vectorized decoder.
+          batch.iterator.map { case (id, bytes) =>
+            val n = if (bytes == null) 0 else bytes.length
+            MediaFeature(
+              doc_id = id,
+              n_bytes = n,
+              width = 1 + (n % 640),
+              height = 1 + (n % 480),
+              checksum = java.security.MessageDigest.getInstance("MD5")
+                .digest(if (bytes == null) Array.emptyByteArray else bytes)
+                .map("%02x".format(_)).mkString)
+          }
+        }
+      }
+  }
+}
