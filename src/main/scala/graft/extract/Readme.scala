@@ -49,24 +49,26 @@ object Readme {
     */
   def skipParagraph(para: String): (Boolean, List[Datum]) = {
     val ret = List.newBuilder[Datum]
-    if (SeeForMore.matcher(para).find()) return (true, Nil)
-    if (SeeForInstructions.matcher(para).find()) return (true, Nil)
-    if (PleaseRefer.matcher(para).find()) return (true, Nil)
-    locally {
+    if (para.contains("See ") && SeeForMore.matcher(para).find()) return (true, Nil)
+    if (para.contains("See ") && SeeForInstructions.matcher(para).find()) return (true, Nil)
+    if (para.contains("Please refer") && PleaseRefer.matcher(para).find()) return (true, Nil)
+    if (para.contains("It is licensed under")) {
       val m = LicensedUnder.matcher(para)
       if (m.find()) {
         ret += datum("License", UStr(m.group(1)), Possible)
         return (true, ret.result())
       }
     }
-    locally {
+    if (para.contains("License: ")) {
       val m = LicenseColon.matcher(para)
       if (m.find()) {
         ret += datum("License", UStr(m.group(1)), Likely)
         return (true, ret.result())
       }
     }
-    locally {
+    if (para.contains("Home page: ") || para.contains("homepage_url: ") ||
+        para.contains("Main website: ") || para.contains("Website: ") ||
+        para.contains("Homepage: ")) {
       val m = HomepageColon.matcher(para)
       if (m.find()) {
         var url = m.group(2)
@@ -75,15 +77,15 @@ object Readme {
         return (true, ret.result())
       }
     }
-    if (MoreDocs.matcher(para).find()) return (true, Nil)
-    locally {
+    if (para.contains("More documentation") && MoreDocs.matcher(para).find()) return (true, Nil)
+    if (para.contains("Documentation ")) {
       val m = DocsAt.matcher(para)
       if (m.find()) {
         ret += datum("Documentation", UStr(m.group(3)), Likely)
         return (true, ret.result())
       }
     }
-    locally {
+    if (para.contains("Documentation for ")) {
       val m = DocsFor.matcher(para)
       if (m.find()) {
         ret += datum("Name", UStr(m.group(1)), Possible)
@@ -91,53 +93,53 @@ object Readme {
         return (true, ret.result())
       }
     }
-    if (DocsFound.matcher(para).find()) return (true, Nil)
-    if (SeeUrl.matcher(para).find()) return (true, Nil)
-    if (AvailableOn.matcher(para).find()) return (true, Nil)
-    locally {
+    if (para.contains("Documentation") && DocsFound.matcher(para).find()) return (true, Nil)
+    if (para.contains("See ") && SeeUrl.matcher(para).find()) return (true, Nil)
+    if (para.contains("Available on ") && AvailableOn.matcher(para).find()) return (true, Nil)
+    if (para.contains("This software is freely distributable under the ")) {
       val m = FreelyDistributable.matcher(para)
       if (m.find()) {
         ret += datum("License", UStr(m.group(1)), Likely)
         return (true, ret.result())
       }
     }
-    if (HostedAt.matcher(para).find()) return (true, Nil)
-    if (DevelopedBy.matcher(para).find()) return (true, Nil)
+    if (para.contains(" is hosted at ") && HostedAt.matcher(para).find()) return (true, Nil)
+    if (para.contains("This code has been developed by ") && DevelopedBy.matcher(para).find()) return (true, Nil)
     if (para.startsWith("Download and install using:")) return (true, Nil)
-    if (BugsReportedBy.matcher(para).find()) return (true, Nil)
-    locally {
+    if (para.contains("Bugs should be reported by ") && BugsReportedBy.matcher(para).find()) return (true, Nil)
+    if (para.contains("The bug tracker can be found at ")) {
       val m = BugTrackerAt.matcher(para)
       if (m.find()) {
         ret += datum("Bug-Database", UStr(m.group(1)), Likely)
         return (true, ret.result())
       }
     }
-    locally {
+    if (para.contains("Copyright ")) {
       val m = CopyrightRe.matcher(para)
       if (m.find()) {
         ret += datum("Copyright", UStr(m.group(2)), Possible)
         return (true, ret.result())
       }
     }
-    if (YouInstall.matcher(para).find()) return (true, Nil)
-    if (FreeSoftware.matcher(para).find()) return (true, Nil)
-    locally {
+    if (para.contains("You install ") && YouInstall.matcher(para).find()) return (true, Nil)
+    if (para.contains(" is free software; ") && FreeSoftware.matcher(para).find()) return (true, Nil)
+    if (para.contains("Please report any bugs")) {
       val m = ReportBugs.matcher(para)
       if (m.find()) {
         ret += datum("Bug-Database", UStr(m.group(2)), Possible)
         return (true, ret.result())
       }
     }
-    if (ShareAndEnjoy.matcher(para).find()) return (true, Nil)
+    if (para.contains("Share and Enjoy") && ShareAndEnjoy.matcher(para).find()) return (true, Nil)
     locally {
-      val lines = para.split("\n", -1)
-      if (lines.nonEmpty &&
-          Set("perl Makefile.PL", "make", "./configure").contains(lines(0).trim))
+      val nl = para.indexOf('\n')
+      val first = (if (nl < 0) para else para.substring(0, nl)).trim
+      if (first == "perl Makefile.PL" || first == "make" || first == "./configure")
         return (true, Nil)
     }
-    if (ForFurther.matcher(para).find()) return (true, Nil)
-    if (FurtherInfo.matcher(para).find()) return (true, Nil)
-    locally {
+    if (para.contains("For further information, ") && ForFurther.matcher(para).find()) return (true, Nil)
+    if (para.contains("Further information ") && FurtherInfo.matcher(para).find()) return (true, Nil)
+    if (para.contains("A detailed ChangeLog can be found")) {
       val m = ChangelogFound.matcher(para)
       if (m.find()) {
         ret += datum("Changelog", UStr(m.group(1)), Possible)
@@ -515,7 +517,7 @@ object Readme {
           UrlLite.parse(u).foreach(urls.append)
         }
       }
-      locally {
+      if (line.contains("git clone")) {
         val m = BacktickClone.matcher(line)
         while (m.find()) {
           VcsCommand.urlFromGitCloneCommand(m.group(1)).foreach { u =>
@@ -523,7 +525,7 @@ object Readme {
           }
         }
       }
-      locally {
+      if (line.contains("svn co ")) {
         val m = SvnCo.matcher(line)
         while (m.find()) {
           VcsCommand.urlFromSvnCoCommand(m.group(2)).foreach { u =>
@@ -531,36 +533,36 @@ object Readme {
           }
         }
       }
-      locally {
+      if (line.contains("https://travis-ci.org/")) {
         val m = TravisRe.matcher(line)
         while (m.find())
           ret.append(datumO(origin, "Repository",
             s"https://github.com/${m.group(1)}/${m.group(2)}", Possible))
       }
-      locally {
+      if (line.contains("https://coveralls.io/r/")) {
         val m = CoverallsRe.matcher(line)
         while (m.find())
           ret.append(datumO(origin, "Repository",
             s"https://github.com/${m.group(1)}/${m.group(2)}", Possible))
       }
-      locally {
+      if (line.contains("https://github.com/")) {
         val m = GithubIssuesRe.matcher(line)
         while (m.find())
           ret.append(datumO(origin, "Bug-Database", m.group(0), Possible))
       }
-      locally {
+      if (line.contains("https://github.com/")) {
         val m = GithubGitRe.matcher(line)
         while (m.find())
           ret.append(datumO(origin, "Repository",
             m.group(0).reverse.dropWhile(_ == '.').reverse, Possible))
       }
-      locally {
+      if (line.contains("https://github.com/")) {
         val m = GithubRe.matcher(line)
         if (m.find())
           ret.append(datumO(origin, "Repository",
             m.group(0).reverse.dropWhile(_ == '.').reverse, Possible))
       }
-      locally {
+      if (line.contains("git://")) {
         val m = GitSchemeRe.matcher(line)
         if (m.find())
           ret.append(datumO(origin, "Repository",

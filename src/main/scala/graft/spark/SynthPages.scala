@@ -13,15 +13,23 @@ object SynthPages {
 
   val FixedTs = "2026-07-23 00:00:00"
 
-  /** documents(doc_id, text, ...) → pages(url, warc_ts, html, text, lang). */
+  /** documents(doc_id, text, ...) → pages(url, warc_ts, html, text, lang).
+    * The input is typically one small parquet file (a single scan split);
+    * repartitioning first spreads the narrow extract stage across cores the
+    * way a real multi-file 100 TB scan would be.
+    */
   def fromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
 
-    val base = documents.select(
+    val par = spark.sparkContext.defaultParallelism * 2
+    val base0 = documents.select(
       F.col("doc_id").cast("long"),
       F.col("text"),
       F.col("lang"))
+    val base =
+      if (base0.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) base0
+      else base0.repartition(par)
 
     val pkgJson = base.select(
       F.concat(F.lit("https://replay.invalid/proj"), F.col("doc_id"),
@@ -47,5 +55,22 @@ object SynthPages {
       .withColumn("warc_ts", F.to_timestamp(F.lit(FixedTs)))
       .withColumn("html", F.col("text").cast("binary"))
       .select("url", "warc_ts", "html", "text", "lang")
+  }
+
+  /** Deterministically replicates the documents table `factor`× with fresh
+    * doc_ids — the knob that turns the small driver tables into a
+    * compute-bound corpus for scaling runs.
+    */
+  def replicate(documents: DataFrame, factor: Int): DataFrame = {
+    val spark = documents.sparkSession
+    val n = documents.count()
+    // the partitioned range drives generation so every core produces its own
+    // slice; the small documents table rides along as a broadcast
+    val reps = spark.range(0L, factor.toLong, 1L,
+      spark.sparkContext.defaultParallelism * 2).toDF("rep")
+    reps.crossJoin(F.broadcast(documents))
+      .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(n))
+      .drop("rep")
+      .select(documents.columns.map(F.col).toSeq: _*)
   }
 }

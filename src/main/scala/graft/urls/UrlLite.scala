@@ -133,14 +133,23 @@ object UrlLite {
     if (path.startsWith("/") && !joined.startsWith("/")) "/" + joined else joined
   }
 
-  private val pathEscape: Set[Char] = Set(' ', '"', '<', '>', '`', '{', '}')
+  private def isPathEscape(c: Char): Boolean = c match {
+    case ' ' | '"' | '<' | '>' | '`' | '{' | '}' => true
+    case _ => false
+  }
 
-  private def encodePath(p: String): String =
-    if (!p.exists(pathEscape)) p
-    else p.flatMap(c => if (pathEscape(c)) f"%%${c.toInt}%02X" else c.toString)
+  private def encodePath(p: String): String = {
+    var i = 0
+    var needs = false
+    while (i < p.length && !needs) { if (isPathEscape(p.charAt(i))) needs = true; i += 1 }
+    if (!needs) p
+    else p.flatMap(c => if (isPathEscape(c)) f"%%${c.toInt}%02X" else c.toString)
+  }
 
-  private val forbiddenHostChars: Set[Char] =
-    Set(' ', '#', '/', ':', '?', '@', '[', ']', '\\', '<', '>', '^', '|', '"', '%')
+  private def isForbiddenHostChar(c: Char): Boolean = c match {
+    case ' ' | '#' | '/' | ':' | '?' | '@' | '[' | ']' | '\\' | '<' | '>' | '^' | '|' | '"' | '%' => true
+    case _ => false
+  }
 
   /** Parse; None corresponds to a Rust `Url::parse` Err. */
   def parse(input0: String): Option[UrlLite] = {
@@ -207,7 +216,7 @@ object UrlLite {
 
     if (hostRaw.isEmpty && special) return None
     val host = hostRaw.toLowerCase
-    if (!host.startsWith("[") && host.exists(forbiddenHostChars)) return None
+    if (!host.startsWith("[") && host.exists(isForbiddenHostChar)) return None
 
     val port: Option[Int] = portStr match {
       case None => None
