@@ -26,11 +26,15 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
 
-    // pages/sec on the KG pipeline: 2 pages per document
+    // pages/sec on the KG pipeline from a warm re-run (the first run above
+    // pays one-time JIT/session costs); 2 pages per document
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val pages = 2.0 * nDocs
-    val pagesPerSec = pages / math.max(results("kg_canonical"), 1e-9)
-    (results, pagesPerSec)
+    val t0 = System.nanoTime()
+    qs("kg_canonical")(spark, sfDir).count()
+    val warm = (System.nanoTime() - t0) / 1e9
+    val pagesPerSec = pages / math.max(math.min(results("kg_canonical"), warm), 1e-9)
+    (results + ("kg_canonical_warm" -> warm), pagesPerSec)
   }
 
   def main(args: Array[String]): Unit = {
