@@ -24,7 +24,8 @@ object Summarize {
     */
   private def guessers(
       files: Map[String, String],
-      subjectBasename: String
+      subjectBasename: String,
+      envRepositoryUrl: Option[String]
   ): List[() => Either[String, List[Datum]]] = {
     val out = List.newBuilder[() => Either[String, List[Datum]]]
     def has(p: String): Boolean = files.contains(p)
@@ -177,7 +178,12 @@ object Summarize {
          if p.startsWith("debian/patches/") && p.endsWith(".patch"))
       out += (() => Extractors.debianPatch(p, content(p)))
 
-    // --- environment (none offline), then path fallback (src/lib.rs:3432-3437)
+    // --- environment guesser (UPSTREAM_BRANCH_URL, src/lib.rs:2237-2248),
+    //     then path fallback (src/lib.rs:3432-3437)
+    envRepositoryUrl.foreach { url =>
+      out += (() => Right(List(
+        Datum("Repository", UStr(url), Some(Certain), Some("environment")))))
+    }
     out += (() => Right(Extractors.fromPath(subjectBasename)))
 
     out.result()
@@ -194,11 +200,12 @@ object Summarize {
     */
   def summarize(
       files: Map[String, String],
-      subjectBasename: String
+      subjectBasename: String,
+      envRepositoryUrl: Option[String] = None
   ): (List[Datum], List[String]) = {
     val errors = List.newBuilder[String]
     val raw = ArrayBuffer.empty[Datum]
-    for (g <- guessers(files, subjectBasename)) {
+    for (g <- guessers(files, subjectBasename, envRepositoryUrl)) {
       g() match {
         case Right(ds) => raw ++= ds
         case Left(e)   => errors += e
@@ -217,10 +224,11 @@ object Summarize {
   /** Raw extraction only — the scan-mode surface (raw_triples). */
   def extractRaw(
       files: Map[String, String],
-      subjectBasename: String
+      subjectBasename: String,
+      envRepositoryUrl: Option[String] = None
   ): List[Datum] = {
     val raw = ArrayBuffer.empty[Datum]
-    for (g <- guessers(files, subjectBasename)) {
+    for (g <- guessers(files, subjectBasename, envRepositoryUrl)) {
       g() match {
         case Right(ds) => raw ++= ds
         case Left(_)   =>
