@@ -92,6 +92,43 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    "q8_anti_join" -> ((s, dir) => {
+      val discounted = t(s, dir, "lineitem").where(F.col("l_discount") > 0.09)
+      t(s, dir, "part")
+        .join(discounted, F.col("p_partkey") === F.col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    }),
+    "q9_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), F.col("c_custkey") === F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+    "q10_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("l_quantity").cast(dec)).cast(dec).as("sum_qty"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    }),
+    "q11_set_ops" -> ((s, dir) => {
+      val withOrders = t(s, dir, "orders").select(F.col("o_custkey").as("custkey")).distinct()
+      val highBal = t(s, dir, "customer").where(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").as("custkey"))
+      withOrders.intersect(highBal)
+        .unionByName(withOrders.exceptAll(withOrders)) // except demo keeps plan shape
+        .orderBy("custkey")
+    }),
+    "q12_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n"), F.sum("k").as("sum_k"))
+        .orderBy("event_type")
+    }),
+
     // ---------- text analysis ----------
     "doc_token_stats" -> ((s, dir) => TrainingOps.tokenStats(t(s, dir, "documents"))),
     "doc_quality" -> ((s, dir) =>
@@ -251,6 +288,29 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY o_custkey
                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
+    "q8_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_partkey NOT IN
+           (SELECT l_partkey FROM lineitem WHERE l_discount > 0.09)
+         ORDER BY p_partkey""",
+    "q9_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+         GROUP BY 1 ORDER BY 1""",
+    "q10_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q11_set_ops" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+         INTERSECT
+         SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         ORDER BY custkey""",
+    "q12_json" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY 1 ORDER BY 1""",
     "doc_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
