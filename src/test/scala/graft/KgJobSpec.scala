@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.spark.{KgJob, KgStreaming, SynthPages}
+
+/** End-to-end job semantics: bucket-manifest resume and the streaming
+  * variant.
+  */
+class KgJobSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("KgJob resumes from the bucket manifest without re-emitting") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val pages = SynthPages.fromDocuments(docs)
+    val out = freshDir("kgjob")
+
+    val first = KgJob.run(spark, pages, out, buckets = 8)
+    assert(first == 8)
+    val triples1 = spark.read.parquet(s"$out/triples").count()
+    assert(triples1 == 100 * 9)
+
+    // simulate a restart after partial completion: drop two commit markers
+    // and their outputs
+    for (b <- Seq(3, 5)) {
+      java.nio.file.Files.deleteIfExists(KgJob.manifestDir(out).resolve(s"bucket_$b"))
+    }
+    val second = KgJob.run(spark, pages, out, buckets = 8)
+    assert(second == 2) // only the uncommitted buckets re-ran
+    assert(KgJob.committedBuckets(out).size == 8)
+    val triples2 = spark.read.parquet(s"$out/triples").count()
+    assert(triples2 == 100 * 9) // overwrite per bucket → no duplicates
+  }
+
+  test("streaming variant produces the same triples as batch") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val pages = SynthPages.fromDocuments(docs)
+    val in = freshDir("kgstream_in")
+    val outDir = freshDir("kgstream_out")
+    val ckpt = freshDir("kgstream_ckpt")
+    pages.write.mode("overwrite").parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    val q = KgStreaming.start(spark, in, outDir, ckpt, schema)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(outDir)
+      .select("subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val batch = graft.spark.KgEngine.extractCanonical(spark, pages).toDF()
+      .select("subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 50 * 9)
+  }
+}
