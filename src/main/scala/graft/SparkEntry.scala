@@ -357,50 +357,53 @@ object SparkEntry {
          md5(text) AS checksum
          FROM documents ORDER BY doc_id""",
     "kg_canonical" ->
-      """WITH d AS (SELECT doc_id, text FROM documents),
+      """WITH d AS (
+           SELECT doc_id, text,
+             'https://replay.invalid/proj'||doc_id||'/' AS subj,
+             doc_id % 4 AS flavor,
+             CASE WHEN doc_id % 4 = 2
+               THEN 'https://gitlab.com/org'||(doc_id%97)||'/proj'||doc_id
+               ELSE 'https://github.com/org'||(doc_id%97)||'/proj'||doc_id END AS repo
+           FROM documents
+         ),
          expected AS (
-           SELECT 'https://replay.invalid/proj'||doc_id||'/' AS subj, 'Bug-Database' AS pred,
-                  'https://github.com/org'||(doc_id%97)||'/proj'||doc_id||'/issues' AS obj FROM d
-           UNION ALL
-           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Bug-Submit',
-                  'https://github.com/org'||(doc_id%97)||'/proj'||doc_id||'/issues/new' FROM d
-           UNION ALL
-           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Description', text||chr(10) FROM d
-           UNION ALL
-           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Homepage',
-                  'https://proj'||doc_id||'.example.com/' FROM d
-           UNION ALL
-           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Name', 'proj'||doc_id FROM d
-           UNION ALL
-           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Repository',
-                  'https://github.com/org'||(doc_id%97)||'/proj'||doc_id||'.git' FROM d
-           UNION ALL
-           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Repository-Browse',
-                  'https://github.com/org'||(doc_id%97)||'/proj'||doc_id FROM d
-           UNION ALL
-           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Summary', 'Tool number '||doc_id FROM d
-           UNION ALL
-           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Version',
-                  '1.'||(doc_id%10)||'.0' FROM d
+           SELECT subj, 'Bug-Database' AS pred, repo||'/issues' AS obj FROM d
+           UNION ALL SELECT subj, 'Bug-Submit', repo||'/issues/new' FROM d
+           UNION ALL SELECT subj, 'Cargo-Crate', 'proj'||doc_id FROM d WHERE flavor = 1
+           UNION ALL SELECT subj, 'Description', text||chr(10) FROM d
+           UNION ALL SELECT subj, 'Documentation',
+             'https://docs.example.com/proj'||doc_id FROM d WHERE flavor = 2
+           UNION ALL SELECT subj, 'Homepage',
+             CASE WHEN flavor = 3 THEN repo
+                  ELSE 'https://proj'||doc_id||'.example.com/' END FROM d
+           UNION ALL SELECT subj, 'License', 'MIT' FROM d
+           UNION ALL SELECT subj, 'Name', 'proj'||doc_id FROM d
+           UNION ALL SELECT subj, 'Repository', repo||'.git' FROM d
+           UNION ALL SELECT subj, 'Repository-Browse', repo FROM d
+           UNION ALL SELECT subj, 'Summary', 'Tool number '||doc_id FROM d
+           UNION ALL SELECT subj, 'Version', '1.'||(doc_id%10)||'.0' FROM d
          )
          SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
     "kg_edges" ->
-      """WITH d AS (SELECT doc_id FROM documents),
+      """WITH d AS (
+           SELECT doc_id,
+             'https://replay.invalid/proj'||doc_id||'/' AS src,
+             doc_id % 4 AS flavor,
+             CASE WHEN doc_id % 4 = 2
+               THEN 'https://gitlab.com/org'||(doc_id%97)||'/proj'||doc_id
+               ELSE 'https://github.com/org'||(doc_id%97)||'/proj'||doc_id END AS repo
+           FROM documents
+         ),
          expected AS (
-           SELECT 'https://replay.invalid/proj'||doc_id||'/' AS src, 'Bug-Database' AS pred,
-                  'https://github.com/org'||(doc_id%97)||'/proj'||doc_id||'/issues' AS dst FROM d
-           UNION ALL
-           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Bug-Submit',
-                  'https://github.com/org'||(doc_id%97)||'/proj'||doc_id||'/issues/new' FROM d
-           UNION ALL
-           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Homepage',
-                  'https://proj'||doc_id||'.example.com/' FROM d
-           UNION ALL
-           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Repository',
-                  'https://github.com/org'||(doc_id%97)||'/proj'||doc_id||'.git' FROM d
-           UNION ALL
-           SELECT 'https://replay.invalid/proj'||doc_id||'/', 'Repository-Browse',
-                  'https://github.com/org'||(doc_id%97)||'/proj'||doc_id FROM d
+           SELECT src, 'Bug-Database' AS pred, repo||'/issues' AS dst FROM d
+           UNION ALL SELECT src, 'Bug-Submit', repo||'/issues/new' FROM d
+           UNION ALL SELECT src, 'Documentation',
+             'https://docs.example.com/proj'||doc_id FROM d WHERE flavor = 2
+           UNION ALL SELECT src, 'Homepage',
+             CASE WHEN flavor = 3 THEN repo
+                  ELSE 'https://proj'||doc_id||'.example.com/' END FROM d
+           UNION ALL SELECT src, 'Repository', repo||'.git' FROM d
+           UNION ALL SELECT src, 'Repository-Browse', repo FROM d
          )
          SELECT src, pred, dst FROM expected ORDER BY src, pred""",
     "kg_mentions_linking" ->

@@ -1,17 +1,25 @@
 package graft.spark
 
-import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 /** Deterministic Common-Crawl-style pages synthesized from the driver's
-  * `documents` table (BASELINE.json input_hint): each document becomes one
-  * project with a package.json manifest and a plain-text README. Everything
-  * is a pure function of doc_id, so a DuckDB oracle can reconstruct the
-  * expected canonical triples exactly — the correctness gate for the whole
-  * extract→merge→extrapolate→fix pipeline at any scale factor.
+  * `documents` table (BASELINE.json input_hint). Each document becomes one
+  * project with a manifest (format chosen by doc_id % 4: package.json,
+  * Cargo.toml, poetry pyproject.toml, or hpack package.yaml) plus a
+  * plain-text README. Everything is a pure function of doc_id, so a DuckDB
+  * oracle reconstructs the expected canonical triples exactly — the
+  * correctness gate for the whole extract→merge→extrapolate→fix pipeline at
+  * any scale factor, across four parser families.
   */
 object SynthPages {
 
   val FixedTs = "2026-07-23 00:00:00"
+
+  private def c(parts: Any*): Column =
+    F.concat(parts.map {
+      case col: Column => col
+      case s: String   => F.lit(s)
+    }: _*)
 
   /** documents(doc_id, text, ...) → pages(url, warc_ts, html, text, lang).
     * The input is typically one small parquet file (a single scan split);
@@ -20,7 +28,6 @@ object SynthPages {
     */
   def fromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
-    import spark.implicits._
 
     val par = spark.sparkContext.defaultParallelism * 2
     val base0 = documents.select(
@@ -31,27 +38,49 @@ object SynthPages {
       if (base0.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) base0
       else base0.repartition(par)
 
-    val pkgJson = base.select(
-      F.concat(F.lit("https://replay.invalid/proj"), F.col("doc_id"),
-        F.lit("/package.json")).as("url"),
-      F.concat(
-        F.lit("{\"name\":\"proj"), F.col("doc_id"),
-        F.lit("\",\"version\":\"1."), F.pmod(F.col("doc_id"), F.lit(10L)),
-        F.lit(".0\",\"description\":\"Tool number "), F.col("doc_id"),
-        F.lit(".\",\"homepage\":\"https://proj"), F.col("doc_id"),
-        F.lit(".example.com/\",\"repository\":\"https://github.com/org"),
-        F.pmod(F.col("doc_id"), F.lit(97L)),
-        F.lit("/proj"), F.col("doc_id"), F.lit("\"}")
-      ).as("text"),
+    val id = F.col("doc_id")
+    val flavor = F.pmod(id, F.lit(4L))
+    val name = c("proj", id)
+    val version = c("1.", F.pmod(id, F.lit(10L)), ".0")
+    val summary = c("Tool number ", id, ".")
+    val homepage = c("https://proj", id, ".example.com/")
+    val ghRepo = c("https://github.com/org", F.pmod(id, F.lit(97L)), "/proj", id)
+    val glRepo = c("https://gitlab.com/org", F.pmod(id, F.lit(97L)), "/proj", id)
+    val docsUrl = c("https://docs.example.com/proj", id)
+
+    val manifestRelpath = F.when(flavor === 0, "package.json")
+      .when(flavor === 1, "Cargo.toml")
+      .when(flavor === 2, "pyproject.toml")
+      .otherwise("package.yaml")
+
+    val manifestContent = F.when(flavor === 0,
+        c("{\"name\":\"", name, "\",\"version\":\"", version,
+          "\",\"description\":\"", summary, "\",\"homepage\":\"", homepage,
+          "\",\"license\":\"MIT\",\"repository\":\"", ghRepo, "\"}"))
+      .when(flavor === 1,
+        c("[package]\nname = \"", name, "\"\nversion = \"", version,
+          "\"\ndescription = \"", summary, "\"\nhomepage = \"", homepage,
+          "\"\nlicense = \"MIT\"\nrepository = \"", ghRepo, "\"\n"))
+      .when(flavor === 2,
+        c("[tool.poetry]\nname = \"", name, "\"\nversion = \"", version,
+          "\"\ndescription = \"", summary, "\"\nlicense = \"MIT\"\nhomepage = \"",
+          homepage, "\"\ndocumentation = \"", docsUrl,
+          "\"\nrepository = \"", glRepo, "\"\n"))
+      .otherwise(
+        c("name: ", name, "\nversion: ", version, "\nsynopsis: ", summary,
+          "\nlicense: MIT\ngithub: org", F.pmod(id, F.lit(97L)), "/proj", id, "\n"))
+
+    val manifest = base.select(
+      c("https://replay.invalid/", name, "/", manifestRelpath).as("url"),
+      manifestContent.as("text"),
       F.col("lang"))
 
     val readme = base.select(
-      F.concat(F.lit("https://replay.invalid/proj"), F.col("doc_id"),
-        F.lit("/README")).as("url"),
+      c("https://replay.invalid/", name, "/README").as("url"),
       F.col("text"),
       F.col("lang"))
 
-    pkgJson.unionByName(readme)
+    manifest.unionByName(readme)
       .withColumn("warc_ts", F.to_timestamp(F.lit(FixedTs)))
       .withColumn("html", F.col("text").cast("binary"))
       .select("url", "warc_ts", "html", "text", "lang")

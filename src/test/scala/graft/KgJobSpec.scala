@@ -22,14 +22,14 @@ class KgJobSpec extends AnyFunSuite {
   }
 
   test("KgJob resumes from the bucket manifest without re-emitting") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where("doc_id < 100")
     val pages = SynthPages.fromDocuments(docs)
     val out = freshDir("kgjob")
 
     val first = KgJob.run(spark, pages, out, buckets = 8)
     assert(first == 8)
     val triples1 = spark.read.parquet(s"$out/triples").count()
-    assert(triples1 == 100 * 9)
+    assert(triples1 == 25 * (10 + 11 + 11 + 10))
 
     // simulate a restart after partial completion: drop two commit markers
     // and their outputs
@@ -40,11 +40,11 @@ class KgJobSpec extends AnyFunSuite {
     assert(second == 2) // only the uncommitted buckets re-ran
     assert(KgJob.committedBuckets(out).size == 8)
     val triples2 = spark.read.parquet(s"$out/triples").count()
-    assert(triples2 == 100 * 9) // overwrite per bucket → no duplicates
+    assert(triples2 == 25 * (10 + 11 + 11 + 10)) // overwrite per bucket → no duplicates
   }
 
   test("streaming variant produces the same triples as batch") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where("doc_id < 48")
     val pages = SynthPages.fromDocuments(docs)
     val in = freshDir("kgstream_in")
     val outDir = freshDir("kgstream_out")
@@ -62,6 +62,6 @@ class KgJobSpec extends AnyFunSuite {
       .select("subj", "pred", "obj").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(streamed == batch)
-    assert(streamed.size == 50 * 9)
+    assert(streamed.size == 12 * (10 + 11 + 11 + 10))
   }
 }
