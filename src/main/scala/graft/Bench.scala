@@ -100,12 +100,16 @@ object ScalingBench {
     }
     try {
       val pages = spark.read.parquet(ScalingBench.corpusPath(sfDir))
+      def job() = sys.env.getOrElse("SPARK_GRAFT_MODE", "grouped") match {
+        case "pre" => graft.spark.KgEngine.extractCanonicalPreExtract(spark, pages)
+        case _     => graft.spark.KgEngine.extractCanonical(spark, pages)
+      }
       // warm-up (JIT + page cache), then one measured run (the caller
       // interleaves rounds and takes the per-config best)
-      graft.spark.KgEngine.extractCanonical(spark, pages).count()
+      job().count()
       stages.clear()
       val t0 = System.nanoTime()
-      val n = graft.spark.KgEngine.extractCanonical(spark, pages).count()
+      val n = job().count()
       if (profile) stages.foreach { case (id, nt, run, dur, gc) =>
         System.err.println(
           f"[profile c=$cores] stage $id%3d tasks=$nt%4d cpuSum=${run / 1000.0}%8.2fs wall=${dur / 1000.0}%7.2fs gc=${gc / 1000.0}%6.2fs")

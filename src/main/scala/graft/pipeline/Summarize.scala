@@ -19,17 +19,114 @@ object Summarize {
 
   final case class Artifact(relpath: String, content: String)
 
+  /** (guesser id, content → datums) for every SELF-CONTAINED guesser that
+    * applies to one relpath. debian artifacts are excluded — they need
+    * sibling context (package name, source/format) and stay deferred. One
+    * file can feed several guessers (e.g. "readme.doap" is both a doap
+    * candidate and a README). This is the unit the Spark engine can run in
+    * the narrow pre-shuffle stage; the per-subject plan below decides which
+    * results are actually used (registry order, exactly-one rules,
+    * setup.py suppression).
+    */
+  def fileGuessers(relpath: String): List[(String, String => Either[String, List[Datum]])] = {
+    val out = List.newBuilder[(String, String => Either[String, List[Datum]])]
+    val isTopLevel = !relpath.contains('/')
+    val base = relpath.substring(relpath.lastIndexOf('/') + 1)
+    val lc = base.toLowerCase
+
+    val staticFn: Option[String => Either[String, List[Datum]]] = relpath match {
+      case "PKG-INFO"       => Some(Extractors.pkgInfo(relpath, _))
+      case "package.json"   => Some(Extractors.packageJson(relpath, _))
+      case "composer.json"  => Some(Extractors.composerJson(relpath, _))
+      case "package.xml"    => Some(Extractors.packageXml(relpath, _))
+      case "package.yaml"   => Some(Extractors.packageYaml(relpath, _))
+      case "dist.ini"       => Some(Extractors.distIni(relpath, _))
+      case "META.json" | "MYMETA.json" => Some(Extractors.metaJson(relpath, _))
+      case "META.yml" | "MYMETA.yml"   => Some(Extractors.metaYml(relpath, _))
+      case "configure"      => Some(Extractors.configure(relpath, _))
+      case "DESCRIPTION"    => Some(Extractors.rDescription(relpath, _))
+      case "Cargo.toml"     => Some(Extractors.cargoToml(relpath, _))
+      case "pom.xml"        => Some(Extractors.pomXml(relpath, _))
+      case ".git/config"    => Some(Extractors.gitConfig(relpath, _, trustPackage = true))
+      case "pyproject.toml" => Some(Extractors.pyprojectToml(relpath, _))
+      case "setup.cfg"      => Some(Extractors.setupCfg(relpath, _))
+      case "go.mod"         => Some(Extractors.goMod(relpath, _))
+      case "Makefile.PL"    => Some(Extractors.makefilePl(relpath, _))
+      case "wscript"        => Some(Extractors.wscript(relpath, _))
+      case "AUTHORS"        => Some(Extractors.authorsFile(relpath, _))
+      case "INSTALL"        => Some(Extractors.installFile(relpath, _))
+      case "pubspec.yaml" | "pubspec.yml" => Some(Extractors.pubspecYaml(relpath, _))
+      case "metadata.json"  => Some(Extractors.metadataJson(relpath, _))
+      case ".travis.yml"    => Some(Extractors.travisYml(relpath, _))
+      case _                => None
+    }
+    staticFn.foreach(fn => out += (("static", fn)))
+
+    if (relpath == "SECURITY.md" || relpath == ".github/SECURITY.md" ||
+        relpath == "docs/SECURITY.md")
+      out += (("security", (_: String) => Extractors.securityMd(relpath, relpath)))
+
+    relpath.split('/') match {
+      case Array(d, "PKG-INFO") if d.endsWith(".egg-info") =>
+        out += (("egginfo", Extractors.pkgInfo(relpath, _)))
+      case Array(d, "METADATA") if d.endsWith(".dist-info") =>
+        out += (("egginfo", Extractors.pkgInfo(relpath, _)))
+      case Array(d, "DESCRIPTION") if d.nonEmpty =>
+        out += (("rdesc", Extractors.rDescription(relpath, _)))
+      case _ =>
+    }
+
+    if (relpath == "setup.py")
+      out += (("setup.py", Extractors.setupPy(relpath, _)))
+    if (isTopLevel && base.endsWith(".gemspec"))
+      out += (("gemspec", Extractors.gemspec(relpath, _)))
+    if (isTopLevel && (base.endsWith(".doap") ||
+        (base.endsWith(".xml") && base.startsWith("doap_XML_"))))
+      out += (("doap", Extractors.doap(relpath, _)))
+    if (isTopLevel && base.endsWith(".metainfo.xml"))
+      out += (("metainfo", Extractors.metainfo(relpath, _)))
+    if (isTopLevel && base.endsWith(".cabal"))
+      out += (("cabal", Extractors.cabal(relpath, _)))
+    if (isTopLevel &&
+        (lc.startsWith("readme") || lc.startsWith("hacking") || lc.startsWith("contributing")) &&
+        !base.endsWith("~") && {
+          val ext = extensionOf(base)
+          !ext.contains("html") && !ext.contains("pdf") && !ext.contains("xml")
+        })
+      out += (("readme", Readme.guessFromReadme(relpath, extensionOf(relpath), _)))
+    if (isTopLevel && base.endsWith(".nuspec"))
+      out += (("nuspec", Extractors.nuspec(relpath, _)))
+    if (isTopLevel && base.endsWith(".opam"))
+      out += (("opam", Extractors.opam(relpath, _)))
+
+    out.result()
+  }
+
   /** One guesser = registry-ordered unit of extraction
-    * (find_guessers, src/lib.rs:3083-3440).
+    * (find_guessers, src/lib.rs:3083-3440). `lookup`, when present, supplies
+    * pre-extracted datums for (relpath, guesserId) instead of re-running the
+    * self-contained extractors — the Spark pre-extraction path; only
+    * debian content is then read from `files`.
     */
   private def guessers(
       files: Map[String, String],
+      relpathUniverse: Set[String],
       subjectBasename: String,
-      envRepositoryUrl: Option[String]
+      envRepositoryUrl: Option[String],
+      lookup: Option[(String, String) => List[Datum]]
   ): List[() => Either[String, List[Datum]]] = {
     val out = List.newBuilder[() => Either[String, List[Datum]]]
-    def has(p: String): Boolean = files.contains(p)
+    def has(p: String): Boolean = relpathUniverse.contains(p)
     def content(p: String): String = files(p)
+
+    /** A self-contained slot: pre-extracted datums or a live extractor run. */
+    def slot(relpath: String, id: String): Unit = lookup match {
+      case Some(f) => out += (() => Right(f(relpath, id)))
+      case None =>
+        fileGuessers(relpath).find(_._1 == id).foreach { case (_, fn) =>
+          out += (() => fn(content(relpath)))
+        }
+    }
 
     // package name for debian/watch templating (read_entries,
     // src/providers/debian.rs:728-768)
@@ -63,98 +160,73 @@ object Summarize {
       out += (() => Extractors.debianChangelog("debian/changelog", content("debian/changelog")))
     if (has("debian/rules"))
       out += (() => Extractors.debianRules("debian/rules", content("debian/rules")))
-    if (has("PKG-INFO"))
-      out += (() => Extractors.pkgInfo("PKG-INFO", content("PKG-INFO")))
-    if (has("package.json"))
-      out += (() => Extractors.packageJson("package.json", content("package.json")))
-    if (has("composer.json"))
-      out += (() => Extractors.composerJson("composer.json", content("composer.json")))
-    if (has("package.xml"))
-      out += (() => Extractors.packageXml("package.xml", content("package.xml")))
-    if (has("package.yaml"))
-      out += (() => Extractors.packageYaml("package.yaml", content("package.yaml")))
-    if (has("dist.ini"))
-      out += (() => Extractors.distIni("dist.ini", content("dist.ini")))
+    if (has("PKG-INFO")) slot("PKG-INFO", "static")
+    if (has("package.json")) slot("package.json", "static")
+    if (has("composer.json")) slot("composer.json", "static")
+    if (has("package.xml")) slot("package.xml", "static")
+    if (has("package.yaml")) slot("package.yaml", "static")
+    if (has("dist.ini")) slot("dist.ini", "static")
     if (has("debian/copyright"))
       out += (() => Extractors.debianCopyright("debian/copyright", content("debian/copyright")))
-    for (p <- List("META.json", "MYMETA.json") if has(p))
-      out += (() => Extractors.metaJson(p, content(p)))
-    for (p <- List("META.yml", "MYMETA.yml") if has(p))
-      out += (() => Extractors.metaYml(p, content(p)))
-    if (has("configure"))
-      out += (() => Extractors.configure("configure", content("configure")))
-    if (has("DESCRIPTION"))
-      out += (() => Extractors.rDescription("DESCRIPTION", content("DESCRIPTION")))
-    if (has("Cargo.toml"))
-      out += (() => Extractors.cargoToml("Cargo.toml", content("Cargo.toml")))
-    if (has("pom.xml"))
-      out += (() => Extractors.pomXml("pom.xml", content("pom.xml")))
-    if (has(".git/config"))
-      out += (() => Extractors.gitConfig(".git/config", content(".git/config"), trustPackage = true))
+    for (p <- List("META.json", "MYMETA.json") if has(p)) slot(p, "static")
+    for (p <- List("META.yml", "MYMETA.yml") if has(p)) slot(p, "static")
+    if (has("configure")) slot("configure", "static")
+    if (has("DESCRIPTION")) slot("DESCRIPTION", "static")
+    if (has("Cargo.toml")) slot("Cargo.toml", "static")
+    if (has("pom.xml")) slot("pom.xml", "static")
+    if (has(".git/config")) slot(".git/config", "static")
     if (has("debian/get-orig-source.sh"))
       out += (() => Extractors.getOrigSource("debian/get-orig-source.sh", content("debian/get-orig-source.sh")))
-    if (has("pyproject.toml"))
-      out += (() => Extractors.pyprojectToml("pyproject.toml", content("pyproject.toml")))
-    if (has("setup.cfg"))
-      out += (() => Extractors.setupCfg("setup.cfg", content("setup.cfg")))
-    if (has("go.mod"))
-      out += (() => Extractors.goMod("go.mod", content("go.mod")))
-    if (has("Makefile.PL"))
-      out += (() => Extractors.makefilePl("Makefile.PL", content("Makefile.PL")))
-    if (has("wscript"))
-      out += (() => Extractors.wscript("wscript", content("wscript")))
-    if (has("AUTHORS"))
-      out += (() => Extractors.authorsFile("AUTHORS", content("AUTHORS")))
-    if (has("INSTALL"))
-      out += (() => Extractors.installFile("INSTALL", content("INSTALL")))
-    for (p <- List("pubspec.yaml", "pubspec.yml") if has(p))
-      out += (() => Extractors.pubspecYaml(p, content(p)))
+    if (has("pyproject.toml")) slot("pyproject.toml", "static")
+    if (has("setup.cfg")) slot("setup.cfg", "static")
+    if (has("go.mod")) slot("go.mod", "static")
+    if (has("Makefile.PL")) slot("Makefile.PL", "static")
+    if (has("wscript")) slot("wscript", "static")
+    if (has("AUTHORS")) slot("AUTHORS", "static")
+    if (has("INSTALL")) slot("INSTALL", "static")
+    for (p <- List("pubspec.yaml", "pubspec.yml") if has(p)) slot(p, "static")
     // meson.build: reference shells out to `meson introspect`, which is not
     // available offline → guesser errors and is dropped. Nothing to emit.
-    if (has("metadata.json"))
-      out += (() => Extractors.metadataJson("metadata.json", content("metadata.json")))
-    if (has(".travis.yml"))
-      out += (() => Extractors.travisYml(".travis.yml", content(".travis.yml")))
+    if (has("metadata.json")) slot("metadata.json", "static")
+    if (has(".travis.yml")) slot(".travis.yml", "static")
 
     // --- SECURITY.md in three locations (src/lib.rs:3099-3113) ---
     for (name <- List("SECURITY.md", ".github/SECURITY.md", "docs/SECURITY.md") if has(name))
-      out += (() => Extractors.securityMd(name, name))
+      slot(name, "security")
 
     // --- egg-info / dist-info (src/lib.rs:3115-3144) ---
-    val topLevel = files.keys.filterNot(_.contains('/')).toList.sorted
+    val topLevel = relpathUniverse.filterNot(_.contains('/')).toList.sorted
     var foundPkgInfo = has("PKG-INFO")
-    val eggInfos = files.keys.filter(p =>
+    val eggInfos = relpathUniverse.filter(p =>
       p.split('/') match {
         case Array(dir, "PKG-INFO") if dir.endsWith(".egg-info") => true
         case Array(dir, "METADATA") if dir.endsWith(".dist-info") => true
         case _ => false
       }).toList.sorted
     for (p <- eggInfos) {
-      out += (() => Extractors.pkgInfo(p, content(p)))
+      slot(p, "egginfo")
       foundPkgInfo = true
     }
 
     // --- setup.py if no PKG-INFO (src/lib.rs:3146-3157) ---
-    if (!foundPkgInfo && has("setup.py"))
-      out += (() => Extractors.setupPy("setup.py", content("setup.py")))
+    if (!foundPkgInfo && has("setup.py")) slot("setup.py", "setup.py")
 
     // --- gemspecs, all (src/lib.rs:3159-3173) ---
-    for (p <- topLevel if p.endsWith(".gemspec"))
-      out += (() => Extractors.gemspec(p, content(p)))
+    for (p <- topLevel if p.endsWith(".gemspec")) slot(p, "gemspec")
 
     // --- R subdir DESCRIPTION (src/lib.rs:3176-3195) ---
-    for (p <- files.keys.toList.sorted if p.endsWith("/DESCRIPTION") && p.count(_ == '/') == 1)
-      out += (() => Extractors.rDescription(p, content(p)))
+    for (p <- relpathUniverse.toList.sorted
+         if p.endsWith("/DESCRIPTION") && p.count(_ == '/') == 1)
+      slot(p, "rdesc")
 
     // --- exactly-one rules: doap / metainfo / cabal (src/lib.rs:3197-3292) ---
-    def exactlyOne(pred: String => Boolean)(mk: String => () => Either[String, List[Datum]]): Unit = {
+    def exactlyOne(pred: String => Boolean, id: String): Unit = {
       val matches = topLevel.filter(pred)
-      if (matches.length == 1) out += mk(matches.head)
+      if (matches.length == 1) slot(matches.head, id)
     }
-    exactlyOne(p => p.endsWith(".doap") || (p.endsWith(".xml") && p.startsWith("doap_XML_")))(
-      p => () => Extractors.doap(p, content(p)))
-    exactlyOne(_.endsWith(".metainfo.xml"))(p => () => Extractors.metainfo(p, content(p)))
-    exactlyOne(_.endsWith(".cabal"))(p => () => Extractors.cabal(p, content(p)))
+    exactlyOne(p => p.endsWith(".doap") || (p.endsWith(".xml") && p.startsWith("doap_XML_")), "doap")
+    exactlyOne(_.endsWith(".metainfo.xml"), "metainfo")
+    exactlyOne(_.endsWith(".cabal"), "cabal")
 
     // --- README family, all (src/lib.rs:3294-3335) ---
     val readmes = topLevel.filter { p =>
@@ -165,16 +237,14 @@ object Summarize {
           !ext.contains("html") && !ext.contains("pdf") && !ext.contains("xml")
         }
     }
-    for (p <- readmes) {
-      out += (() => Readme.guessFromReadme(p, extensionOf(p), content(p)))
-    }
+    for (p <- readmes) slot(p, "readme")
 
     // --- single nuspec / opam (src/lib.rs:3337-3401) ---
-    exactlyOne(_.endsWith(".nuspec"))(p => () => Extractors.nuspec(p, content(p)))
-    exactlyOne(_.endsWith(".opam"))(p => () => Extractors.opam(p, content(p)))
+    exactlyOne(_.endsWith(".nuspec"), "nuspec")
+    exactlyOne(_.endsWith(".opam"), "opam")
 
     // --- debian patches (src/lib.rs:3403-3430) ---
-    for (p <- files.keys.toList.sorted
+    for (p <- relpathUniverse.toList.sorted
          if p.startsWith("debian/patches/") && p.endsWith(".patch"))
       out += (() => Extractors.debianPatch(p, content(p)))
 
@@ -205,7 +275,7 @@ object Summarize {
   ): (List[Datum], List[String]) = {
     val errors = List.newBuilder[String]
     val raw = ArrayBuffer.empty[Datum]
-    for (g <- guessers(files, subjectBasename, envRepositoryUrl)) {
+    for (g <- guessers(files, files.keySet, subjectBasename, envRepositoryUrl, None)) {
       g() match {
         case Right(ds) => raw ++= ds
         case Left(e)   => errors += e
@@ -228,13 +298,42 @@ object Summarize {
       envRepositoryUrl: Option[String] = None
   ): List[Datum] = {
     val raw = ArrayBuffer.empty[Datum]
-    for (g <- guessers(files, subjectBasename, envRepositoryUrl)) {
+    for (g <- guessers(files, files.keySet, subjectBasename, envRepositoryUrl, None)) {
       g() match {
         case Right(ds) => raw ++= ds
         case Left(_)   =>
       }
     }
     raw.toList
+  }
+
+  /** Per-subject assembly from PRE-EXTRACTED datums (the Spark two-phase
+    * path): `pre` maps (relpath, guesserId) → datums produced in the narrow
+    * per-row stage; `deferredFiles` carries raw content only for debian
+    * artifacts. Semantically identical to `summarize` (tested on every
+    * fixture).
+    */
+  def assemble(
+      deferredFiles: Map[String, String],
+      relpathUniverse: Set[String],
+      pre: Map[(String, String), List[Datum]],
+      subjectBasename: String,
+      envRepositoryUrl: Option[String] = None
+  ): List[Datum] = {
+    val raw = ArrayBuffer.empty[Datum]
+    val lookup = (relpath: String, id: String) => pre.getOrElse((relpath, id), Nil)
+    for (g <- guessers(deferredFiles, relpathUniverse, subjectBasename,
+                       envRepositoryUrl, Some(lookup))) {
+      g() match {
+        case Right(ds) => raw ++= ds
+        case Left(_)   =>
+      }
+    }
+    val metadata = ArrayBuffer.empty[Datum]
+    Merge.updateFromGuesses(metadata, raw.iterator.filterNot(KnownBad.isBad))
+    extrapolate(metadata)
+    fixMetadata(metadata)
+    metadata.sortBy(_.field).toList
   }
 
   // ---------- extrapolation fixpoint (src/extrapolate.rs) ----------

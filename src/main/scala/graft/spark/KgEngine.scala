@@ -117,6 +117,68 @@ object KgEngine {
       }
   }
 
+  /** Two-phase variant: per-row pre-extraction in the narrow stage, so the
+    * one shuffle carries extracted datums (~100s of bytes) instead of file
+    * bodies — at crawl scale this cuts exchange volume by the README/page
+    * size ratio. Only debian artifacts (which need sibling context: watch
+    * templating, source/format) ship raw content, and those are tiny.
+    * Semantically identical to `extractCanonical` (equivalence-tested on
+    * every reference fixture and the synthetic corpus).
+    *
+    * Tradeoff, measured: on the synthetic corpus (where the README-derived
+    * Description datum carries the whole page text) the datum rows are as
+    * large as the files and the JSON codec only adds CPU — `grouped` wins
+    * (487k vs 374k pages/s at 32 cores). On a real crawl, where a page is
+    * 10-100× its extract, this path shrinks the exchange by that factor and
+    * becomes the right default. Both stay available and tested.
+    */
+  def extractCanonicalPreExtract(spark: SparkSession, pages: DataFrame): Dataset[CanonTriple] = {
+    import spark.implicits._
+    pages
+      .select(F.col("url"), F.col("text"))
+      .as[(String, String)]
+      .flatMap { case (url, text) =>
+        if (text == null) Iterator.empty
+        else splitSubject(url) match {
+          case Some((subj, relpath)) if isCandidate(relpath) =>
+            if (relpath.startsWith("debian/"))
+              Iterator.single(ExtractRow(subj, relpath, "x", text))
+            else {
+              val gs = graft.pipeline.Summarize.fileGuessers(relpath)
+              if (gs.isEmpty) Iterator.single(ExtractRow(subj, relpath, "m", ""))
+              else gs.iterator.map { case (id, fn) =>
+                val datums = fn(text).getOrElse(Nil)
+                ExtractRow(subj, relpath, s"d:$id", datumsToJson(datums))
+              }
+            }
+          case _ => Iterator.empty
+        }
+      }
+      .groupByKey(_.subj)
+      .flatMapGroups { (subj, it) =>
+        val deferred = Map.newBuilder[String, String]
+        val pre = Map.newBuilder[(String, String), List[graft.core.Datum]]
+        val relpaths = Set.newBuilder[String]
+        it.foreach { row =>
+          relpaths += row.relpath
+          row.kind match {
+            case "x" => deferred += (row.relpath -> row.payload)
+            case "m" => ()
+            case d if d.startsWith("d:") =>
+              pre += ((row.relpath, d.stripPrefix("d:")) -> datumsFromJson(row.payload))
+            case _ => ()
+          }
+        }
+        val metadata = graft.pipeline.Summarize.assemble(
+          deferred.result(), relpaths.result(), pre.result(), subjBasename(subj))
+        metadata.iterator.map { dt =>
+          val (obj, objJson) = objForms(dt.value)
+          CanonTriple(subj, dt.field, obj, objJson,
+            dt.certainty.getOrElse(-1), dt.origin.getOrElse(""))
+        }
+      }
+  }
+
   /** pages → raw (pre-merge) triples: the scan-mode surface. `guesser_rank`
     * and `seq` encode arrival order deterministically so canonicalize() can
     * reproduce first-wins ties without relying on execution order.

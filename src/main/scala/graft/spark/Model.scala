@@ -75,7 +75,9 @@ object Model {
         case UInt(i)      => o.put("t", "i"); o.put("v", i)
         case UStrings(ss) =>
           o.put("t", "ss"); val a = o.putArray("v"); ss.foreach(a.add)
-        case UPerson(p)   => o.put("t", "p"); o.set("v", personNode(p)): Unit
+        case UPerson(p)   =>
+          o.put("t", "p")
+          o.set[com.fasterxml.jackson.databind.JsonNode]("v", personNode(p))
         case UPersons(ps) =>
           o.put("t", "ps"); val a = o.putArray("v"); ps.foreach(p => a.add(personNode(p)))
       }

@@ -47,24 +47,28 @@ class SparkFixtureReplaySpec extends AnyFunSuite {
       .withColumn("html", F.col("text").cast("binary"))
       .withColumn("lang", F.lit("en"))
 
-    val sparkResult = graft.spark.KgEngine.extractCanonical(spark, pages)
-      .collect()
-      .groupBy(_.subj)
-      .view.mapValues(_.map(t => (t.pred, t.obj, t.certainty)).toList.sorted)
-      .toMap
+    for ((variant, result) <- List(
+           "grouped" -> graft.spark.KgEngine.extractCanonical(spark, pages),
+           "pre-extracted" -> graft.spark.KgEngine.extractCanonicalPreExtract(spark, pages))) {
+      val sparkResult = result
+        .collect()
+        .groupBy(_.subj)
+        .view.mapValues(_.map(t => (t.pred, t.obj, t.certainty)).toList.sorted)
+        .toMap
 
-    var mismatches = 0
-    for ((subj, expected) <- localExpected) {
-      val actual = sparkResult.getOrElse(subj, Nil)
-      if (actual != expected.sorted) {
-        mismatches += 1
-        info(s"MISMATCH $subj")
-        info(s"  expected: ${expected.sorted}")
-        info(s"  actual:   $actual")
+      var mismatches = 0
+      for ((subj, expected) <- localExpected) {
+        val actual = sparkResult.getOrElse(subj, Nil)
+        if (actual != expected.sorted) {
+          mismatches += 1
+          info(s"MISMATCH [$variant] $subj")
+          info(s"  expected: ${expected.sorted}")
+          info(s"  actual:   $actual")
+        }
       }
+      info(s"[$variant] subjects compared: ${localExpected.size}")
+      assert(mismatches == 0, s"variant $variant")
     }
-    info(s"subjects compared: ${localExpected.size}")
-    assert(mismatches == 0)
     spark.stop()
   }
 }
