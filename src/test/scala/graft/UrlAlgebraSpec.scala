@@ -204,6 +204,46 @@ class UrlAlgebraSpec extends AnyFunSuite {
     assert(KnownBad.isBad(Datum("Repository", UStr("https://x.org/${foo}"), None, None)))
   }
 
+  test("lib.rs forge vectors (src/lib.rs:4257-4462)") {
+    def u(x: String) = UrlLite.parse(x).get
+    // bug_database_url_from_bug_submit_url
+    assert(Forges.bugDatabaseUrlFromBugSubmitUrl(u("https://bugs.launchpad.net/bugs/+filebug"))
+      .map(_.toString).contains("https://bugs.launchpad.net/bugs"))
+    assert(Forges.bugDatabaseUrlFromBugSubmitUrl(u("https://github.com/dulwich/dulwich/issues/new"))
+      .map(_.toString).contains("https://github.com/dulwich/dulwich/issues"))
+    assert(Forges.bugDatabaseUrlFromBugSubmitUrl(u("https://sourceforge.net/p/dulwich/bugs/new"))
+      .map(_.toString).contains("https://sourceforge.net/p/dulwich/bugs"))
+    // github bug_database_url_from_repo_url
+    assert(Forges.GitHub.bugDatabaseUrlFromRepoUrl(u("https://github.com/dulwich/dulwich.git"))
+      .map(_.toString).contains("https://github.com/dulwich/dulwich/issues"))
+    assert(Forges.GitHub.bugDatabaseUrlFromRepoUrl(u("ssh://git@github.com/dulwich/dulwich.git"))
+      .map(_.toString).contains("https://github.com/dulwich/dulwich/issues"))
+    assert(Forges.GitHub.bugDatabaseUrlFromRepoUrl(u("git://github.com/dulwich/dulwich"))
+      .map(_.toString).contains("https://github.com/dulwich/dulwich/issues"))
+    assert(Forges.GitHub.bugDatabaseUrlFromRepoUrl(u("https://github.com/dulwich")).isEmpty)
+    // bug_database_from_issue_url
+    assert(Forges.GitHub.bugDatabaseFromIssueUrl(u("https://github.com/dulwich/dulwich/issues/123"))
+      .map(_.toString).contains("https://github.com/dulwich/dulwich/issues"))
+    assert(Forges.GitHub.bugDatabaseFromIssueUrl(u("https://github.com/dulwich/dulwich")).isEmpty)
+    // repo_url_from_merge_request_url
+    assert(Forges.GitHub.repoUrlFromMergeRequestUrl(u("https://github.com/dulwich/dulwich/pull/123"))
+      .map(_.toString).contains("https://github.com/dulwich/dulwich"))
+    assert(Forges.GitHub.repoUrlFromMergeRequestUrl(u("https://github.com/dulwich/dulwich/issues/123")).isEmpty)
+    // pecl extraction
+    assert(Forges.extractPeclPackageName("https://pecl.php.net/package/redis").contains("redis"))
+    assert(Forges.extractPeclPackageName("https://pecl.php.net/package/xdebug/2.9.0").contains("xdebug/2.9.0"))
+    assert(Forges.extractPeclPackageName("https://example.com/something").isEmpty)
+  }
+
+  test("person vectors (src/lib.rs:4286-4321)") {
+    assert(Person.parse("Foo Bar <foo@example.com>") ==
+      Person(Some("Foo Bar"), Some("foo@example.com"), None))
+    assert(Person.parse("Foo Bar") == Person(Some("Foo Bar"), None, None))
+    assert(Person.parse("foo@example.com") == Person(None, Some("foo@example.com"), None))
+    assert(Person.parse("<foo@example.com>") ==
+      Person(Some(""), Some("foo@example.com"), None))
+  }
+
   test("metadata_from_url sourceforge") {
     val ds = Forges.metadataFromUrl("https://sourceforge.net/projects/gtab/", None)
     assert(ds.exists(d => d.field == "SourceForge-Project" && d.str.contains("gtab")))
