@@ -224,6 +224,37 @@ object SparkEntry {
         .select("subj", "term", "entity_id")
         .orderBy("subj", "term")
     }),
+    "kg_yaml_sink" -> ((s, dir) => {
+      // per-subject YAML rendering (the reference CLI's output surface)
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val canon = KgEngine.extractCanonical(s, pages)
+      import s.implicits._
+      canon.groupByKey(_.subj)
+        .mapGroups { (subj, it) =>
+          val md = it.toList.sortBy(_.pred).map { t =>
+            graft.core.Datum(t.pred, graft.core.UStr(t.obj),
+              if (t.certainty < 0) None else Some(t.certainty), Some(t.origin))
+          }
+          (subj, graft.pipeline.Sinks.toYaml(md))
+        }
+        .toDF("subj", "yaml")
+        .orderBy("subj")
+    }),
+    "kg_codemeta_sink" -> ((s, dir) => {
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val canon = KgEngine.extractCanonical(s, pages)
+      import s.implicits._
+      canon.groupByKey(_.subj)
+        .mapGroups { (subj, it) =>
+          val md = it.toList.sortBy(_.pred).map { t =>
+            graft.core.Datum(t.pred, graft.core.UStr(t.obj),
+              if (t.certainty < 0) None else Some(t.certainty), Some(t.origin))
+          }
+          (subj, graft.pipeline.Sinks.toCodemeta(md))
+        }
+        .toDF("subj", "codemeta")
+        .orderBy("subj")
+    }),
     "kg_lineage" -> ((s, dir) => {
       val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
       KgEngine.lineage(s, pages).toDF()
