@@ -226,6 +226,51 @@ object Extractors {
     Right(out.result())
   }
 
+  // ---------- POD (src/providers/perl.rs:15-79) ----------
+
+  /** guess_from_pod: `=head1` sections → Name/Summary (from NAME) and
+    * Description (from DESCRIPTION). Faithful to the reference including two
+    * quirks: section bodies accumulate lines concatenated WITHOUT newlines
+    * (perl.rs:29 `push_str(line)`), and the markup-strip patterns only match
+    * when a literal backslash precedes the angle bracket (perl.rs:37-45 —
+    * the raw strings escape the backslash, not the bracket, so plain
+    * `B<bold>` is left intact while `B\<bold>` is stripped).
+    */
+  def pod(origin: String, content: String): Result = {
+    val byHeader = scala.collection.mutable.HashMap.empty[String, StringBuilder]
+    var inHeader: Option[String] = None
+    for (line <- content.linesIterator) {
+      if (line.startsWith("=head1 ")) {
+        // trim_start_matches removes every leading repetition of the pattern
+        var h = line
+        while (h.startsWith("=head1 ")) h = h.substring("=head1 ".length)
+        inHeader = Some(h)
+        byHeader(h.toUpperCase) = new StringBuilder
+      } else inHeader.foreach { h =>
+        byHeader.get(h.toUpperCase).foreach(_.append(line))
+      }
+    }
+    val out = List.newBuilder[Datum]
+    byHeader.get("DESCRIPTION").foreach { sb =>
+      var desc = sb.toString.dropWhile(_ == '\n')
+      desc = desc.replaceAll("[FXZSCBI]\\\\<([^>]+)>", "$1")
+      desc = desc.replaceAll("L\\\\<([^\\|]+)\\|([^\\\\>]+)\\\\>", "$2")
+      desc = desc.replaceAll("L\\\\<([^\\\\>]+)\\\\>", "$1")
+      out += d("Description", UStr(desc), Certain, origin)
+    }
+    byHeader.get("NAME").foreach { sb =>
+      sb.toString.trim.linesIterator.toSeq.headOption.foreach { line =>
+        val idx = line.indexOf(" - ")
+        if (idx >= 0) {
+          out += d("Name", UStr(line.substring(0, idx).trim), Confident, origin)
+          out += d("Summary", UStr(line.substring(idx + 3).trim), Confident, origin)
+        } else if (!line.contains(' '))
+          out += d("Name", UStr(line.trim), Confident, origin)
+      }
+    }
+    Right(out.result())
+  }
+
   // ---------- Cargo.toml (src/providers/rust.rs:10-105) ----------
 
   def cargoToml(origin: String, content: String): Result =
@@ -1406,15 +1451,26 @@ object Extractors {
   }
 
   def debianChangelog(origin: String, content: String): Result = {
-    parseChangelogFirstEntry(content).map { case (pkg, version, _) =>
+    parseChangelogFirstEntry(content).map { case (pkg, version, changes) =>
       val out = List.newBuilder[Datum]
       out += d("Name", UStr(pkg), Confident, origin)
       version.foreach(v => out += d("Version", UStr(upstreamVersion(v)), Confident, origin))
-      // ITP bug fetching is network-only; the DebianITP number itself is local:
-      // find_itp over change lines (src/providers/debian.rs:363-370)
+      // find_itp over change lines (src/providers/debian.rs:349-370); the
+      // subsequent ITP bug-body fetch is network-only and stays out of scope
+      findItp(changes).foreach(n => out += d("Debian-ITP", UInt(n), Certain, origin))
       out.result()
     }
   }
+
+  private val ItpRe = java.util.regex.Pattern
+    .compile("\\* Initial release. \\(?Closes: #(\\d+)\\)?")
+
+  /** find_itp (src/providers/debian.rs:363-370): first change line announcing
+    * the initial release yields the ITP bug number.
+    */
+  def findItp(changes: List[String]): Option[Int] =
+    changes.iterator.map(ItpRe.matcher)
+      .collectFirst { case m if m.find() => m.group(1).toInt }
 
   def debianRules(origin: String, content: String): Result = {
     val out = List.newBuilder[Datum]

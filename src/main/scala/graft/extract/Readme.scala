@@ -575,6 +575,9 @@ object Readme {
       case Some("md")  => Right(descriptionFromReadmeMd(content))
       case Some("rst") => descriptionFromReadmeRst(content)
       case None        => Right(descriptionFromReadmePlain(content))
+      // README.pod routes to the POD provider (src/readme.rs:412-419):
+      // no description extraction, datums carry their own certainty
+      case Some("pod") => Extractors.pod(origin, content).map(md => (None, md))
       case Some(_)     => Right((None, Nil))
     }
 
