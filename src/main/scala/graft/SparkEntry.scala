@@ -15,6 +15,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared input for the two entity-linking queries: term mentions harvested
+    * from document text plus a small term→entity registry.
+    */
+  private def mentionsAndRegistry(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    val registry = s.createDataFrame(Seq(
+      ("spark", "ent_spark"), ("join", "ent_join"),
+      ("merge", "ent_merge"), ("vector", "ent_vector")
+    )).toDF("term", "entity_id")
+    val padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    val mentions = Seq("spark", "join", "merge", "vector")
+      .map(term => docs
+        .where(padded.contains(s" $term "))
+        .select(F.col("doc_id").cast("string").as("subj"), F.lit(term).as("term")))
+      .reduce(_ unionByName _)
+    (mentions, registry)
+  }
+
   /** Flagship: full KG construction (synth pages → canonical triples). */
   def entry(spark: SparkSession): DataFrame = {
     val docs = t(spark, "/root/testdata/sf0.001", "documents")
@@ -23,14 +41,22 @@ object SparkEntry {
 
   private val dec = "decimal(18,2)"
 
+  /** Exact integer centi-units of a 2-decimal DOUBLE column: per-row
+    * round(x*100) then BIGINT sum — order-independent and encoding-stable in
+    * the driver's hash compare (DECIMAL sums of DOUBLE inputs were value-
+    * exact but hash-red in round 1).
+    */
+  private def centi(col: String): org.apache.spark.sql.Column =
+    F.round(F.col(col) * 100).cast("long")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- relational core ----------
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          F.sum(F.col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
-          F.sum(F.col("l_extendedprice").cast(dec)).cast(dec).as("sum_price"),
+          F.sum(centi("l_quantity")).as("sum_qty_centi"),
+          F.sum(centi("l_extendedprice")).as("sum_price_centi"),
           F.count(F.lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -59,7 +85,7 @@ object SparkEntry {
         .groupBy("r_name")
         .agg(
           F.count(F.lit(1)).as("n_items"),
-          F.sum(F.col("l_quantity").cast(dec)).cast(dec).as("sum_qty"))
+          F.sum(centi("l_quantity")).as("sum_qty_centi"))
         .orderBy("r_name")
     }),
     "q5_events_daily" -> ((s, dir) => {
@@ -67,7 +93,7 @@ object SparkEntry {
         .groupBy(F.col("event_type"), F.date_trunc("day", F.col("ts")).as("day"))
         .agg(
           F.count(F.lit(1)).as("n"),
-          F.sum(F.col("value").cast(dec)).cast(dec).as("total_value"))
+          F.sum(centi("value")).as("total_value_centi"))
         .orderBy("event_type", "day")
     }),
     "q6_sessions" -> ((s, dir) => {
@@ -110,16 +136,18 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).as("n"),
-          F.sum(F.col("l_quantity").cast(dec)).cast(dec).as("sum_qty"))
+          F.sum(centi("l_quantity")).as("sum_qty_centi"))
         .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
     }),
     "q11_set_ops" -> ((s, dir) => {
+      // intersect and exceptAll legs, tagged so both set ops are exercised
+      // and oracle-verified in one result
       val withOrders = t(s, dir, "orders").select(F.col("o_custkey").as("custkey")).distinct()
       val highBal = t(s, dir, "customer").where(F.col("c_acctbal") > 5000)
         .select(F.col("c_custkey").as("custkey"))
-      withOrders.intersect(highBal)
-        .unionByName(withOrders.exceptAll(withOrders)) // except demo keeps plan shape
-        .orderBy("custkey")
+      withOrders.intersect(highBal).withColumn("leg", F.lit("both"))
+        .unionByName(withOrders.exceptAll(highBal).withColumn("leg", F.lit("only_orders")))
+        .orderBy("leg", "custkey")
     }),
     "q12_json" -> ((s, dir) => {
       t(s, dir, "events")
@@ -143,11 +171,12 @@ object SparkEntry {
       TrainingOps.dedupExact(t(s, dir, "documents")).orderBy("content_hash")),
     "dedup_minhash" -> ((s, dir) => {
       // double the corpus so every doc has one exact duplicate; MinHash+LSH
-      // generates candidates, exact-hash verification confirms
+      // generates candidates, exact-hash verification confirms. Ids map to
+      // 2*doc_id / 2*doc_id+1 so no eager count() pass is needed.
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val n = docs.count()
-      val doubled = docs.unionByName(
-        docs.select((F.col("doc_id") + F.lit(n)).as("doc_id"), F.col("text")))
+      val doubled = docs.select((F.col("doc_id") * 2).as("doc_id"), F.col("text"))
+        .unionByName(
+          docs.select((F.col("doc_id") * 2 + 1).as("doc_id"), F.col("text")))
       val cand = TrainingOps.minhashBands(doubled).toDF()
       val withHash = doubled.withColumn("h", F.md5(F.col("text")))
       val pairs = cand.as("l").join(cand.as("r"),
@@ -163,9 +192,9 @@ object SparkEntry {
     }),
     "dedup_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val n = docs.count()
-      val doubled = docs.unionByName(
-        docs.select((F.col("doc_id") + F.lit(n)).as("doc_id"), F.col("text")))
+      val doubled = docs.select((F.col("doc_id") * 2).as("doc_id"), F.col("text"))
+        .unionByName(
+          docs.select((F.col("doc_id") * 2 + 1).as("doc_id"), F.col("text")))
       TrainingOps.simhashPairs(doubled, maxDist = 0).orderBy("a", "b")
     }),
 
@@ -209,18 +238,16 @@ object SparkEntry {
         .orderBy("subj", "pred")
     }),
     "kg_mentions_linking" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val registry = s.createDataFrame(Seq(
-        ("spark", "ent_spark"), ("join", "ent_join"),
-        ("merge", "ent_merge"), ("vector", "ent_vector")
-      )).toDF("term", "entity_id")
-      val padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-      val mentions = Seq("spark", "join", "merge", "vector")
-        .map(term => docs
-          .where(padded.contains(s" $term "))
-          .select(F.col("doc_id").cast("long").as("subj"), F.lit(term).as("term")))
-        .reduce(_ unionByName _)
-      KgEngine.linkEntities(mentions.withColumn("subj", F.col("subj").cast("string")), registry)
+      val (mentions, registry) = mentionsAndRegistry(s, dir)
+      KgEngine.linkEntities(mentions, registry)
+        .select("subj", "term", "entity_id")
+        .orderBy("subj", "term")
+    }),
+    "kg_linking_shuffle" -> ((s, dir) => {
+      // same semantics through the salted shuffle-hash join (the registry-
+      // too-big-to-broadcast path)
+      val (mentions, registry) = mentionsAndRegistry(s, dir)
+      KgEngine.linkEntitiesShuffleSalted(mentions, registry)
         .select("subj", "term", "entity_id")
         .orderBy("subj", "term")
     }),
@@ -271,14 +298,56 @@ object SparkEntry {
     })
   )
 
+  /** The ann_lsh oracle replicates the hyperplane LSH exactly: the
+    * deterministic hyperplanes are embedded as DOUBLE[] literals (identical
+    * values to TrainingOps.hyperplanes), signatures recomputed per (vector,
+    * table), candidates joined on (table, signature), then exact cosine
+    * top-k among candidates.
+    */
+  private lazy val annLshOracleSql: String = {
+    val hp = TrainingOps.hyperplanes(tables = 4, planes = 8, dim = 64)
+    val rows = for {
+      t <- hp.indices; p <- hp(t).indices
+    } yield s"($t, $p, [${hp(t)(p).mkString(", ")}]::DOUBLE[])"
+    s"""WITH hp(t, p, v) AS (VALUES ${rows.mkString(",\n")}),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       sig AS (
+         SELECT e.vec_id, hp.t,
+                sum(CASE WHEN list_dot_product(e.emb, hp.v) > 0
+                         THEN 1 << hp.p ELSE 0 END) AS s
+         FROM e, hp GROUP BY 1, 2
+       ),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+         FROM sig q JOIN sig c ON q.t = c.t AND q.s = c.s
+         WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+       ),
+       scored AS (
+         SELECT cand.query_id, cand.vec_id,
+                list_dot_product(qe.emb, ce.emb) /
+                  sqrt(list_dot_product(qe.emb, qe.emb) * list_dot_product(ce.emb, ce.emb)) AS cos
+         FROM cand
+         JOIN e qe ON qe.vec_id = cand.query_id
+         JOIN e ce ON ce.vec_id = cand.vec_id
+       ),
+       ranked AS (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id ASC) AS rank
+         FROM scored
+       )
+       SELECT query_id, CAST(rank AS INT) AS rank, vec_id
+       FROM ranked WHERE rank <= 10 ORDER BY 1, 2"""
+  }
+
   /** DuckDB oracles. The synthesized page content is a pure function of
     * doc_id, so even the full KG pipeline has an exact relational oracle.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+         CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_centi,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_centi,
          count(*) AS n
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q2_join_broadcast" ->
@@ -291,7 +360,7 @@ object SparkEntry {
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
     "q4_star_join" ->
       """SELECT r_name, count(*) AS n_items,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+         CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_centi
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -300,7 +369,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "q5_events_daily" ->
       """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_value_centi
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q6_sessions" ->
       """WITH ev AS (
@@ -330,14 +399,16 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "q10_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+         CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_centi
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q11_set_ops" ->
-      """SELECT DISTINCT o_custkey AS custkey FROM orders
-         INTERSECT
-         SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-         ORDER BY custkey""",
+      """WITH wo AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+            hb AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+         SELECT custkey, 'both' AS leg FROM (SELECT custkey FROM wo INTERSECT SELECT custkey FROM hb)
+         UNION ALL
+         SELECT custkey, 'only_orders' AS leg FROM (SELECT custkey FROM wo EXCEPT ALL SELECT custkey FROM hb)
+         ORDER BY leg, custkey""",
     "q12_json" ->
       """SELECT event_type, count(*) AS n,
          CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
@@ -373,12 +444,43 @@ object SparkEntry {
          FROM documents GROUP BY 1 ORDER BY 1""",
     "dedup_minhash" ->
       """WITH all_docs AS (
-           SELECT doc_id, md5(text) AS h FROM documents
+           SELECT doc_id*2 AS doc_id, md5(text) AS h FROM documents
            UNION ALL
-           SELECT doc_id + (SELECT count(*) FROM documents), md5(text) FROM documents
+           SELECT doc_id*2+1, md5(text) FROM documents
          )
          SELECT l.doc_id AS a, r.doc_id AS b
          FROM all_docs l JOIN all_docs r ON l.h = r.h AND l.doc_id < r.doc_id
+         ORDER BY 1, 2""",
+    "dedup_simhash" ->
+      // full SimHash replication (word hash = first 8 md5 bytes, 64-bit
+      // majority vote) — at maxDist=0 pairs are exactly simhash equality,
+      // which includes word-order permutations, not just identical text
+      """WITH all_docs AS (
+           SELECT doc_id*2 AS doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id*2+1, text FROM documents
+         ),
+         words AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM all_docs
+         ),
+         hashed AS (
+           SELECT doc_id,
+                  CAST(concat('0x', substring(md5(w), 1, 16)) AS UBIGINT) AS h
+           FROM words
+         ),
+         bits AS (
+           SELECT doc_id, i,
+                  sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+           FROM hashed, (SELECT unnest(range(64)) AS i) b
+           GROUP BY 1, 2
+         ),
+         sim AS (
+           SELECT doc_id,
+                  sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << i ELSE 0 END) AS sh
+           FROM bits GROUP BY 1
+         )
+         SELECT l.doc_id AS a, r.doc_id AS b, CAST(0 AS INT) AS dist
+         FROM sim l JOIN sim r ON l.sh = r.sh AND l.doc_id < r.doc_id
          ORDER BY 1, 2""",
     "multimodal_decode" ->
       """SELECT doc_id,
@@ -443,6 +545,35 @@ object SparkEntry {
          JOIN (VALUES ('spark','ent_spark'), ('join','ent_join'),
                       ('merge','ent_merge'), ('vector','ent_vector')) t(term, entity_id)
            ON ' '||d.text||' ' LIKE '%'||' '||t.term||' '||'%'
-         ORDER BY 1, 2"""
+         ORDER BY 1, 2""",
+    "kg_linking_shuffle" ->
+      """SELECT CAST(d.doc_id AS VARCHAR) AS subj, t.term, t.entity_id
+         FROM documents d
+         JOIN (VALUES ('spark','ent_spark'), ('join','ent_join'),
+                      ('merge','ent_merge'), ('vector','ent_vector')) t(term, entity_id)
+           ON ' '||d.text||' ' LIKE '%'||' '||t.term||' '||'%'
+         ORDER BY 1, 2""",
+    // cosine below mirrors the Scala loop exactly: double element products,
+    // dot / sqrt(na*nb) — list_dot_product on DOUBLE[] accumulates the same way
+    "ann_brute" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         ),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id,
+                  list_dot_product(q.emb, c.emb) /
+                    sqrt(list_dot_product(q.emb, q.emb) * list_dot_product(c.emb, c.emb)) AS cos
+           FROM e q JOIN e c ON c.vec_id != q.vec_id
+           WHERE q.vec_id < 10
+         ),
+         ranked AS (
+           SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored
+         )
+         SELECT query_id, CAST(rank AS INT) AS rank, vec_id
+         FROM ranked WHERE rank <= 10 ORDER BY 1, 2""",
+    "ann_lsh" -> annLshOracleSql
   )
 }

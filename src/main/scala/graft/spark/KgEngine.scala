@@ -269,22 +269,34 @@ object KgEngine {
     }
   }
 
-  /** Entity linking: join mention keys against a small registry with the
-    * broadcast-then-salt pattern of the north rule. The registry is
-    * replicated `salt` times on the broadcast side; the probe side picks a
-    * deterministic salt per row, so hot keys fan out across tasks even when
-    * AQE's skew handling is off.
+  /** Entity linking against a registry that fits in executor memory: a plain
+    * broadcast hash join. A broadcast join has no key-based shuffle, so it is
+    * skew-immune by construction — no salting needed (or possible).
     */
   def linkEntities(
+      mentions: DataFrame,   // (subj, term)
+      registry: DataFrame    // (term, entity_id)
+  ): DataFrame =
+    mentions.join(F.broadcast(registry), Seq("term"), "inner")
+
+  /** Entity linking when the registry is too big to broadcast: a salted
+    * SHUFFLE hash join. The registry side is replicated `salt` times, the
+    * probe side picks a deterministic salt per row, so a hot term's probe
+    * rows spread across `salt` reducers instead of piling onto one. This is
+    * the skew pattern that matters at crawl scale, where a handful of terms
+    * ("the", a trending entity) dominate the mention stream.
+    */
+  def linkEntitiesShuffleSalted(
       mentions: DataFrame,   // (subj, term)
       registry: DataFrame,   // (term, entity_id)
       salt: Int = 8
   ): DataFrame = {
     val salted = registry
       .withColumn("salt", F.explode(F.array((0 until salt).map(F.lit): _*)))
+      .hint("shuffle_hash")  // keep AQE from downgrading the demo to broadcast
     val probe = mentions
       .withColumn("salt", F.pmod(F.xxhash64(F.col("subj")), F.lit(salt)).cast("int"))
-    probe.join(F.broadcast(salted), Seq("term", "salt"), "inner")
+    probe.join(salted, Seq("term", "salt"), "inner")
       .drop("salt")
   }
 

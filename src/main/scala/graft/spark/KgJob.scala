@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
 import java.nio.file.{Files, Paths}
 
 /** The full production-shaped job: pages → triples / nodes / edges / lineage
-  * tables, written bucket-by-bucket with a commit manifest so a restarted
-  * run resumes without re-emitting committed partitions (north rule).
+  * tables, written in ONE input pass as bucket-partitioned parquet with a
+  * commit manifest so a restarted run resumes without re-emitting committed
+  * partitions (north rule).
   *
   * Layout under `outDir`:
   *   triples/bucket=N/…parquet     nodes/…  edges/…  lineage/…
@@ -30,6 +31,14 @@ object KgJob {
 
   /** Runs (or resumes) the KG construction job. Returns the number of
     * buckets processed in this invocation.
+    *
+    * ONE pass over the input regardless of bucket count: completed buckets
+    * are filtered out up front, the bucket column is derived from each
+    * triple's subject after extraction, and all four tables land via
+    * `partitionBy("bucket")` with dynamic partition overwrite (only the
+    * re-run buckets' directories are replaced — committed buckets are never
+    * touched, so a resume never re-emits). Lineage is written under the same
+    * per-bucket protocol, so a resumed run cannot duplicate lineage rows.
     */
   def run(
       spark: SparkSession,
@@ -40,27 +49,54 @@ object KgJob {
     Files.createDirectories(manifestDir(outDir))
     val done = committedBuckets(outDir).toSet
     val todo = (0 until buckets).filterNot(done)
+    if (todo.isEmpty) return 0
 
-    // lineage once per run over the full input (cheap: url column only)
-    KgEngine.lineage(spark, pages).toDF()
-      .write.mode(SaveMode.Append).parquet(s"$outDir/lineage")
+    val remaining =
+      if (done.isEmpty) pages
+      else KgEngine.resumeFilter(pages, done.toSeq, buckets)
 
-    val subjCol = F.udf((url: String) =>
-      KgEngine.splitSubject(url).map(_._1).getOrElse("")).apply(F.col("url"))
+    def write(df: DataFrame, table: String): Unit =
+      df.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(s"$outDir/$table")
 
-    for (b <- todo) {
-      val slice = pages.where(KgEngine.bucketOf(subjCol, buckets) === b)
-      val canon = KgEngine.extractCanonical(spark, slice)
-      canon.toDF().withColumn("bucket", F.lit(b))
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$outDir/triples/bucket=$b")
-      KgEngine.edges(canon)
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/edges/bucket=$b")
-      KgEngine.nodes(canon)
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/nodes/bucket=$b")
-      // commit marker: bucket is durable once all three tables landed
-      Files.write(manifestDir(outDir).resolve(s"bucket_$b"), Array.emptyByteArray)
-    }
+    // triples: the heavy pass — extracted once, bucketed by subject hash
+    val canon = KgEngine.extractCanonical(spark, remaining).toDF()
+      .withColumn("bucket", KgEngine.bucketOf(F.col("subj"), buckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      write(canon, "triples")
+      // edges/nodes derive from the cached triples, not a fresh input scan
+      val e = canon
+        .where(F.col("pred").isin(graft.core.Fields.urlTyped.toSeq.map(x => x: Any): _*) &&
+               F.col("obj").startsWith("http"))
+        .select(F.col("subj").as("src"), F.col("pred"), F.col("obj").as("dst"),
+          F.col("certainty"), F.col("bucket"))
+      write(e, "edges")
+      val n = e.select(F.col("src").as("id"), F.lit("subject").as("kind"), F.col("bucket"))
+        .unionByName(e.select(F.col("dst").as("id"), F.lit("url").as("kind"), F.col("bucket")))
+        .groupBy("bucket", "id").agg(F.min("kind").as("kind"))
+        .select("id", "kind", "bucket")
+      write(n, "nodes")
+
+      // per-bucket lineage (url column only — a pruned scan): input pages
+      // and candidate pages per bucket for exactly the buckets being re-run
+      val subjOf = F.udf((url: String) =>
+        KgEngine.splitSubject(url).map(_._1).getOrElse(""))
+      val isCand = F.udf((url: String) =>
+        KgEngine.splitSubject(url).exists(sr => KgEngine.isCandidate(sr._2)))
+      val lin = remaining.select(F.col("url"))
+        .withColumn("bucket", KgEngine.bucketOf(subjOf(F.col("url")), buckets))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).as("input_rows"),
+          F.sum(isCand(F.col("url")).cast("long")).as("emitted"))
+      write(lin, "lineage")
+    } finally canon.unpersist()
+
+    // commit markers: a bucket is durable once all four tables landed
+    todo.foreach(b =>
+      Files.write(manifestDir(outDir).resolve(s"bucket_$b"), Array.emptyByteArray))
     todo.size
   }
 

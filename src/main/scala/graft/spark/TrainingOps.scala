@@ -100,26 +100,43 @@ object TrainingOps {
       .select("a", "b", "jaccard")
   }
 
-  /** 64-bit SimHash over word frequencies. */
+  /** First 8 md5 bytes of a word, big-endian — the per-word hash for
+    * SimHash. md5 (rather than a JVM-private hash mix) keeps the signature
+    * reproducible by any engine, which is what makes the relational oracle
+    * for simhash pairs possible.
+    */
+  private def md5Word64(md: java.security.MessageDigest, w: String): Long = {
+    md.reset()
+    val d = md.digest(w.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over word frequencies (word hash = first 8 md5 bytes). */
   def simhash(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(F.col("doc_id").cast("long"), F.col("text"))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val acc = new Array[Int](64)
-        text.split(' ').foreach { w =>
-          val h = mix64(w.hashCode.toLong)
-          var i = 0
-          while (i < 64) {
-            if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
-            i += 1
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val acc = new Array[Int](64)
+          text.split(' ').foreach { w =>
+            val h = md5Word64(md, w)
+            var i = 0
+            while (i < 64) {
+              if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+              i += 1
+            }
           }
+          var sh = 0L
+          var i = 0
+          while (i < 64) { if (acc(i) > 0) sh |= (1L << i); i += 1 }
+          (id, sh)
         }
-        var sh = 0L
-        var i = 0
-        while (i < 64) { if (acc(i) > 0) sh |= (1L << i); i += 1 }
-        (id, sh)
       }
       .toDF("doc_id", "simhash")
   }
@@ -148,40 +165,74 @@ object TrainingOps {
 
   // ---------- similarity search (embeddings) ----------
 
+  /** Cosine in double precision element-by-element (floats widened before
+    * multiply) so any engine computing on DOUBLE lists sequentially gets the
+    * bit-identical result — required for the relational oracle.
+    */
   private def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < a.length) {
-      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
     }
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
   /** Brute-force cosine top-k for the query vectors with vec_id < nQueries.
-    * Queries broadcast; one pass over the corpus per partition with a
-    * per-query bounded heap — no shuffle until the final per-query top-k
-    * merge (tiny).
+    * Query selection is a pushed-down column filter; queries broadcast; one
+    * pass over the corpus per partition keeps a bounded k-heap per query, so
+    * at most partitions × queries × k rows (not N×Q) reach the final
+    * per-query top-k merge.
     */
   def annBruteForce(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val ds = embeddings.select(F.col("vec_id").cast("long"), F.col("embedding"))
-      .as[(Long, Array[Float])]
-    val queries = ds.filter(_._1 < nQueries).collect()
+    val proj = embeddings.select(F.col("vec_id").cast("long"), F.col("embedding"))
+    val queries = proj.where(F.col("vec_id") < nQueries)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
     val bq = spark.sparkContext.broadcast(queries)
-    val scored = ds.mapPartitions { it =>
+    // worst-first ordering: lowest cosine (then highest vec_id) at the top
+    val worstFirst = Ordering.by((x: (Double, Long)) => (-x._1, x._2))
+    val partialTopK = proj.as[(Long, Array[Float])].mapPartitions { it =>
       val qs = bq.value
-      it.flatMap { case (id, v) =>
-        qs.iterator.filter(_._1 != id).map { case (qid, qv) =>
-          (qid, id, cosine(qv, v))
+      val heaps = Array.fill(qs.length)(
+        new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+      it.foreach { case (id, v) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, qv) = qs(qi)
+          if (qid != id) {
+            val c = cosine(qv, v)
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((c, id))
+            else {
+              val (wc, wid) = h.head
+              if (c > wc || (c == wc && id < wid)) { h.dequeue(); h.enqueue((c, id)) }
+            }
+          }
+          qi += 1
         }
       }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (c, id) => (qs(qi)._1, id, c) }
+      }
     }.toDF("query_id", "vec_id", "cosine")
+    // tiny merge: ≤ partitions × |queries| × k rows
     val w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    scored.withColumn("rank", F.row_number().over(w))
+    partialTopK.withColumn("rank", F.row_number().over(w))
       .where(F.col("rank") <= k)
       .select("query_id", "rank", "vec_id")
   }
+
+  /** Deterministic pseudo-random hyperplanes for `annLsh` — public so the
+    * correctness oracle can embed the identical values.
+    */
+  def hyperplanes(tables: Int, planes: Int, dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, planes, dim) { (t, p, d) =>
+      val h = mix64((t.toLong << 40) ^ (p.toLong << 20) ^ d.toLong)
+      (h.toDouble / Long.MaxValue.toDouble).toFloat.toDouble
+    }
 
   /** LSH-bucketed ANN (the scale path): random-hyperplane signatures from a
     * deterministic seed bucket the corpus; candidates = same bucket in any
@@ -197,18 +248,16 @@ object TrainingOps {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dim = 64
-    // deterministic pseudo-random hyperplanes
-    val hp = Array.tabulate(tables, planes, dim) { (t, p, d) =>
-      val h = mix64((t.toLong << 40) ^ (p.toLong << 20) ^ d.toLong)
-      (h.toDouble / Long.MaxValue.toDouble).toFloat
-    }
+    val hp = hyperplanes(tables, planes, dim)
     def signature(v: Array[Float], t: Int): Int = {
       var sig = 0
       var p = 0
       while (p < planes) {
         var dot = 0.0
         var d = 0
-        while (d < dim) { dot += v(d) * hp(t)(p)(d); d += 1 }
+        // double multiply element-wise — reproducible by engines computing
+        // on DOUBLE lists (the relational oracle)
+        while (d < dim) { dot += v(d).toDouble * hp(t)(p)(d); d += 1 }
         if (dot > 0) sig |= (1 << p)
         p += 1
       }

@@ -50,18 +50,27 @@ class SparkSmokeSpec extends AnyFunSuite {
     assert(part1 > 0 && part2 > 0)
   }
 
-  test("salted broadcast linking == plain join") {
+  test("broadcast linking and salted shuffle linking == plain join") {
     import spark.implicits._
     val mentions = Seq(("s1", "spark"), ("s2", "join"), ("s2", "spark"), ("s3", "merge"))
       .toDF("subj", "term")
     val registry = Seq(("spark", "e1"), ("join", "e2")).toDF("term", "entity_id")
-    val linked = KgEngine.linkEntities(mentions, registry, salt = 4)
-      .select("subj", "term", "entity_id")
-      .as[(String, String, String)].collect().toSet
     val plain = mentions.join(registry, "term")
       .select("subj", "term", "entity_id")
       .as[(String, String, String)].collect().toSet
-    assert(linked == plain)
+    val broadcasted = KgEngine.linkEntities(mentions, registry)
+      .select("subj", "term", "entity_id")
+      .as[(String, String, String)].collect().toSet
+    assert(broadcasted == plain)
+    val shuffled = KgEngine.linkEntitiesShuffleSalted(mentions, registry, salt = 4)
+      .select("subj", "term", "entity_id")
+      .as[(String, String, String)].collect().toSet
+    assert(shuffled == plain)
+    // the salted path must actually shuffle — a broadcast there would make
+    // the salt a no-op (round-1 verdict)
+    val plan = KgEngine.linkEntitiesShuffleSalted(mentions, registry, salt = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("lineage accounts for every input page") {
