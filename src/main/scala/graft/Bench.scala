@@ -27,9 +27,11 @@ object Bench {
     }.toMap
 
     // pages/sec on the KG pipeline from a warm re-run (the first run above
-    // pays one-time JIT/session costs); 2 pages per document
-    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val pages = 2.0 * nDocs
+    // pays one-time JIT/session costs); 2 pages per document except the
+    // 5-file debian flavor (doc_id % 8 = 4)
+    val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("sum(CASE WHEN doc_id % 8 = 4 THEN 5 ELSE 2 END)")
+      .first.getLong(0).toDouble
     val t0 = System.nanoTime()
     qs("kg_canonical")(spark, sfDir).count()
     val warm = (System.nanoTime() - t0) / 1e9

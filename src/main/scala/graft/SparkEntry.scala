@@ -340,6 +340,101 @@ object SparkEntry {
        FROM ranked WHERE rank <= 10 ORDER BY 1, 2"""
   }
 
+  /** Expected CANONICAL triples of the synthesized corpus as a SQL CTE —
+    * page content is a pure function of doc_id (SynthPages), so the whole
+    * extract→merge→extrapolate→fix pipeline is reconstructible relationally,
+    * per manifest flavor (doc_id % 8):
+    *   all:      Name, Summary (dot stripped by fix), Description (README
+    *             plain pipeline appends a newline)
+    *   0-3,5-7:  License MIT (debian flavor 4 has none)
+    *   not 6:    Repository (.git canonical), Repository-Browse,
+    *             Bug-Database/-Submit (extrapolated from Repository);
+    *             setup.py's non-forge url yields Homepage only
+    *   1:        Cargo-Crate          2: Documentation + gitlab repo
+    *   3,7:      Homepage = forge browse URL (hpack github key /
+    *             extrapolation from Repository-Browse)
+    *   4:        Debian-ITP (changelog), control Description, no Version loss
+    *   5:        no Version (the reference's cabal provider emits none)
+    */
+  private val canonicalCte: String =
+    """d AS (
+         SELECT doc_id, text,
+           'https://replay.invalid/proj'||doc_id||'/' AS subj,
+           doc_id % 8 AS flavor,
+           CASE WHEN doc_id % 8 = 2
+             THEN 'https://gitlab.com/org'||(doc_id%97)||'/proj'||doc_id
+             ELSE 'https://github.com/org'||(doc_id%97)||'/proj'||doc_id END AS repo
+         FROM documents
+       ),
+       expected AS (
+         SELECT subj, doc_id, flavor, 'Bug-Database' AS pred, repo||'/issues' AS obj
+           FROM d WHERE flavor != 6
+         UNION ALL SELECT subj, doc_id, flavor, 'Bug-Submit', repo||'/issues/new'
+           FROM d WHERE flavor != 6
+         UNION ALL SELECT subj, doc_id, flavor, 'Cargo-Crate', 'proj'||doc_id
+           FROM d WHERE flavor = 1
+         UNION ALL SELECT subj, doc_id, flavor, 'Debian-ITP', '9'||doc_id
+           FROM d WHERE flavor = 4
+         UNION ALL SELECT subj, doc_id, flavor, 'Description',
+           CASE WHEN flavor = 4 THEN 'Frobnicates widget number '||doc_id||'.'
+                ELSE text||chr(10) END FROM d
+         UNION ALL SELECT subj, doc_id, flavor, 'Documentation',
+           'https://docs.example.com/proj'||doc_id FROM d WHERE flavor = 2
+         UNION ALL SELECT subj, doc_id, flavor, 'Homepage',
+           CASE WHEN flavor IN (3, 7) THEN repo
+                ELSE 'https://proj'||doc_id||'.example.com/' END FROM d
+         UNION ALL SELECT subj, doc_id, flavor, 'License', 'MIT' FROM d WHERE flavor != 4
+         UNION ALL SELECT subj, doc_id, flavor, 'Name', 'proj'||doc_id FROM d
+         UNION ALL SELECT subj, doc_id, flavor, 'Repository', repo||'.git'
+           FROM d WHERE flavor != 6
+         UNION ALL SELECT subj, doc_id, flavor, 'Repository-Browse', repo
+           FROM d WHERE flavor != 6
+         UNION ALL SELECT subj, doc_id, flavor, 'Summary', 'Tool number '||doc_id FROM d
+         UNION ALL SELECT subj, doc_id, flavor, 'Version', '1.'||(doc_id%10)||'.0'
+           FROM d WHERE flavor != 5
+       )"""
+
+  /** Expected RAW (pre-merge) triples: every guesser's datums with their
+    * certainties before the lattice merge — manifest fields at their native
+    * certainty, the README Description at possible, the path-derived Name at
+    * possible, debian sibling-file datums at the control/changelog levels.
+    * Summary keeps its trailing dot (fix_upstream runs post-merge only).
+    */
+  private val rawCte: String =
+    """d AS (
+         SELECT doc_id, text,
+           'https://replay.invalid/proj'||doc_id||'/' AS subj,
+           doc_id % 8 AS flavor,
+           'https://github.com/org'||(doc_id%97)||'/proj'||doc_id AS gh,
+           'https://gitlab.com/org'||(doc_id%97)||'/proj'||doc_id AS gl
+         FROM documents
+       ),
+       raw AS (
+         SELECT subj, 'Name' AS pred, 'proj'||doc_id AS obj,
+                CASE WHEN flavor = 4 THEN 2 ELSE 3 END AS certainty FROM d
+         UNION ALL SELECT subj, 'Name', 'proj'||doc_id, 0 FROM d
+         UNION ALL SELECT subj, 'Version', '1.'||(doc_id%10)||'.0',
+                CASE WHEN flavor = 4 THEN 2 ELSE 3 END FROM d WHERE flavor != 5
+         UNION ALL SELECT subj, 'Summary', 'Tool number '||doc_id||'.',
+                CASE WHEN flavor IN (3, 4) THEN 2 ELSE 3 END FROM d
+         UNION ALL SELECT subj, 'License', 'MIT', 3 FROM d WHERE flavor != 4
+         UNION ALL SELECT subj, 'Homepage', 'https://proj'||doc_id||'.example.com/',
+                CASE WHEN flavor = 6 THEN 1 ELSE 3 END FROM d WHERE flavor NOT IN (3, 7)
+         UNION ALL SELECT subj, 'Repository',
+                CASE WHEN flavor = 2 THEN gl
+                     WHEN flavor IN (4, 5, 7) THEN gh||'.git'
+                     ELSE gh END,
+                CASE WHEN flavor = 4 THEN 2 ELSE 3 END FROM d WHERE flavor != 6
+         UNION ALL SELECT subj, 'Cargo-Crate', 'proj'||doc_id, 3 FROM d WHERE flavor = 1
+         UNION ALL SELECT subj, 'Documentation', 'https://docs.example.com/proj'||doc_id, 3
+           FROM d WHERE flavor = 2
+         UNION ALL SELECT subj, 'Debian-ITP', '9'||doc_id, 3 FROM d WHERE flavor = 4
+         UNION ALL SELECT subj, 'Description', text||chr(10), 0 FROM d
+         UNION ALL SELECT subj, 'Description', 'Frobnicates widget number '||doc_id||'.', 2
+           FROM d WHERE flavor = 4
+         UNION ALL SELECT subj, 'Bug-Database', gh||'/issues', 3 FROM d WHERE flavor IN (5, 7)
+       )"""
+
   /** DuckDB oracles. The synthesized page content is a pure function of
     * doc_id, so even the full KG pipeline has an exact relational oracle.
     */
@@ -490,55 +585,93 @@ object SparkEntry {
          md5(text) AS checksum
          FROM documents ORDER BY doc_id""",
     "kg_canonical" ->
-      """WITH d AS (
-           SELECT doc_id, text,
-             'https://replay.invalid/proj'||doc_id||'/' AS subj,
-             doc_id % 4 AS flavor,
-             CASE WHEN doc_id % 4 = 2
-               THEN 'https://gitlab.com/org'||(doc_id%97)||'/proj'||doc_id
-               ELSE 'https://github.com/org'||(doc_id%97)||'/proj'||doc_id END AS repo
-           FROM documents
-         ),
-         expected AS (
-           SELECT subj, 'Bug-Database' AS pred, repo||'/issues' AS obj FROM d
-           UNION ALL SELECT subj, 'Bug-Submit', repo||'/issues/new' FROM d
-           UNION ALL SELECT subj, 'Cargo-Crate', 'proj'||doc_id FROM d WHERE flavor = 1
-           UNION ALL SELECT subj, 'Description', text||chr(10) FROM d
-           UNION ALL SELECT subj, 'Documentation',
-             'https://docs.example.com/proj'||doc_id FROM d WHERE flavor = 2
-           UNION ALL SELECT subj, 'Homepage',
-             CASE WHEN flavor = 3 THEN repo
-                  ELSE 'https://proj'||doc_id||'.example.com/' END FROM d
-           UNION ALL SELECT subj, 'License', 'MIT' FROM d
-           UNION ALL SELECT subj, 'Name', 'proj'||doc_id FROM d
-           UNION ALL SELECT subj, 'Repository', repo||'.git' FROM d
-           UNION ALL SELECT subj, 'Repository-Browse', repo FROM d
-           UNION ALL SELECT subj, 'Summary', 'Tool number '||doc_id FROM d
-           UNION ALL SELECT subj, 'Version', '1.'||(doc_id%10)||'.0' FROM d
-         )
+      s"""WITH $canonicalCte
          SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
     "kg_edges" ->
-      """WITH d AS (
-           SELECT doc_id,
-             'https://replay.invalid/proj'||doc_id||'/' AS src,
-             doc_id % 4 AS flavor,
-             CASE WHEN doc_id % 4 = 2
-               THEN 'https://gitlab.com/org'||(doc_id%97)||'/proj'||doc_id
-               ELSE 'https://github.com/org'||(doc_id%97)||'/proj'||doc_id END AS repo
-           FROM documents
-         ),
-         expected AS (
-           SELECT src, 'Bug-Database' AS pred, repo||'/issues' AS dst FROM d
-           UNION ALL SELECT src, 'Bug-Submit', repo||'/issues/new' FROM d
-           UNION ALL SELECT src, 'Documentation',
-             'https://docs.example.com/proj'||doc_id FROM d WHERE flavor = 2
-           UNION ALL SELECT src, 'Homepage',
-             CASE WHEN flavor = 3 THEN repo
-                  ELSE 'https://proj'||doc_id||'.example.com/' END FROM d
-           UNION ALL SELECT src, 'Repository', repo||'.git' FROM d
-           UNION ALL SELECT src, 'Repository-Browse', repo FROM d
+      s"""WITH $canonicalCte
+         SELECT subj AS src, pred, obj AS dst FROM expected
+         WHERE pred IN ('Bug-Database', 'Bug-Submit', 'Documentation',
+                        'Homepage', 'Repository', 'Repository-Browse')
+         ORDER BY src, pred""",
+    "kg_raw_triples" ->
+      s"""WITH $rawCte
+         SELECT subj, pred, obj, certainty FROM raw
+         ORDER BY subj, pred, certainty""",
+    "kg_canonicalize_agg" ->
+      // lattice argmax over the raw stream: per (subj,pred) highest certainty
+      // wins — manifest beats README/path datums; no extrapolation, no fixes
+      s"""WITH $rawCte,
+         best AS (
+           SELECT subj, pred, obj, certainty,
+                  row_number() OVER (PARTITION BY subj, pred
+                                     ORDER BY certainty DESC) AS rn
+           FROM raw
          )
-         SELECT src, pred, dst FROM expected ORDER BY src, pred""",
+         SELECT subj, pred, obj, certainty FROM best WHERE rn = 1
+         ORDER BY subj, pred""",
+    "kg_yaml_sink" ->
+      // replicates Sinks.toYaml over the canonical triples: plain scalars,
+      // block-literal for the newline-terminated Description, quoted ints
+      s"""WITH $canonicalCte,
+         rendered AS (
+           SELECT subj, pred,
+             CASE
+               WHEN pred = 'Description' AND flavor != 4
+                 THEN 'Description: |'||chr(10)||'  '||rtrim(obj, chr(10))||chr(10)
+               WHEN pred = 'Debian-ITP'
+                 THEN 'Debian-ITP: '''||obj||''''||chr(10)
+               ELSE pred||': '||obj||chr(10)
+             END AS line
+           FROM expected
+         )
+         SELECT subj, string_agg(line, '' ORDER BY pred) AS yaml
+         FROM rendered GROUP BY subj ORDER BY subj""",
+    "kg_codemeta_sink" ->
+      // replicates Sinks.toCodemeta (Jackson pretty printer field order)
+      s"""WITH $canonicalCte,
+         m AS (
+           SELECT subj,
+             max(CASE WHEN pred='Name' THEN obj END) AS name,
+             max(CASE WHEN pred='Version' THEN obj END) AS version,
+             max(CASE WHEN pred='Summary' THEN obj END) AS summary,
+             max(CASE WHEN pred='Homepage' THEN obj END) AS homepage,
+             max(CASE WHEN pred='Repository' THEN obj END) AS repo,
+             max(CASE WHEN pred='Bug-Database' THEN obj END) AS bugdb,
+             max(CASE WHEN pred='License' THEN obj END) AS license
+           FROM expected GROUP BY subj
+         )
+         SELECT subj,
+           '{'||chr(10)
+           ||'  "@context" : "https://doi.org/10.5063/schema/codemeta-2.0",'||chr(10)
+           ||'  "@type" : "SoftwareSourceCode"'
+           ||coalesce(','||chr(10)||'  "name" : "'||name||'"', '')
+           ||coalesce(','||chr(10)||'  "version" : "'||version||'"', '')
+           ||coalesce(','||chr(10)||'  "description" : "'||summary||'"', '')
+           ||coalesce(','||chr(10)||'  "url" : "'||homepage||'"', '')
+           ||coalesce(','||chr(10)||'  "codeRepository" : "'||repo||'"', '')
+           ||coalesce(','||chr(10)||'  "issueTracker" : "'||bugdb||'"', '')
+           ||coalesce(','||chr(10)||'  "license" : "'||license||'"', '')
+           ||chr(10)||'}' AS codemeta
+         FROM m ORDER BY subj""",
+    "kg_lineage" ->
+      // pages per project: 2 (manifest + README), except debian's 5 files;
+      // every synthesized page is an extraction candidate
+      """SELECT
+         CAST(sum(CASE WHEN doc_id % 8 = 4 THEN 5 ELSE 2 END) AS BIGINT) AS input_rows,
+         CAST(sum(CASE WHEN doc_id % 8 = 4 THEN 5 ELSE 2 END) AS BIGINT) AS emitted
+         FROM documents""",
+    "kg_resume" ->
+      // buckets 0-3 of 8 committed → remaining triples/subjects; the bucket
+      // hash (md5 prefix mod) is engine-neutral by construction
+      s"""WITH $canonicalCte,
+         b AS (
+           SELECT subj, pred,
+                  CAST(concat('0x', substring(md5(subj), 1, 15)) AS UBIGINT) % 8
+                    AS bucket
+           FROM expected
+         )
+         SELECT count(*) AS n_triples, count(DISTINCT subj) AS n_subjects
+         FROM b WHERE bucket NOT IN (0, 1, 2, 3)""",
     "kg_mentions_linking" ->
       """SELECT CAST(d.doc_id AS VARCHAR) AS subj, t.term, t.entity_id
          FROM documents d

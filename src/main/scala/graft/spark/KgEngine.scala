@@ -303,9 +303,16 @@ object KgEngine {
   /** Resume manifest: subjects hash into `buckets`; completed buckets are
     * recorded in a manifest table, and a restarted job anti-joins them away
     * without re-emitting committed partitions (north rule).
+    *
+    * The bucket hash is the first 15 hex chars (60 bits) of md5(subj) — an
+    * engine-neutral function any SQL engine reproduces
+    * (`CAST('0x'||substring(md5(subj),1,15) AS UBIGINT) % buckets`), so the
+    * resume partitioning itself is oracle-checkable.
     */
   def bucketOf(subjCol: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
-    F.pmod(F.xxhash64(subjCol), F.lit(buckets)).cast("int")
+    F.pmod(
+      F.conv(F.substring(F.md5(subjCol), 1, 15), 16, 10).cast("long"),
+      F.lit(buckets.toLong)).cast("int")
 
   def resumeFilter(
       pages: DataFrame,

@@ -4,12 +4,18 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 /** Deterministic Common-Crawl-style pages synthesized from the driver's
   * `documents` table (BASELINE.json input_hint). Each document becomes one
-  * project with a manifest (format chosen by doc_id % 4: package.json,
-  * Cargo.toml, poetry pyproject.toml, or hpack package.yaml) plus a
-  * plain-text README. Everything is a pure function of doc_id, so a DuckDB
-  * oracle reconstructs the expected canonical triples exactly — the
-  * correctness gate for the whole extract→merge→extrapolate→fix pipeline at
-  * any scale factor, across four parser families.
+  * project whose manifest family is chosen by doc_id % 8:
+  *
+  *   0 package.json   1 Cargo.toml       2 poetry pyproject.toml
+  *   3 hpack package.yaml                4 debian (changelog + control +
+  *                                         source/format + watch — the
+  *                                         multi-file sibling-context case)
+  *   5 .cabal         6 setup.py         7 dist.ini
+  *
+  * plus a plain-text README for every project. Everything is a pure function
+  * of doc_id, so a DuckDB oracle reconstructs the expected canonical triples
+  * exactly — the correctness gate for the whole extract→merge→extrapolate→fix
+  * pipeline at any scale factor, across eight parser families.
   */
 object SynthPages {
 
@@ -39,48 +45,89 @@ object SynthPages {
       else base0.repartition(par)
 
     val id = F.col("doc_id")
-    val flavor = F.pmod(id, F.lit(4L))
+    val flavor = F.pmod(id, F.lit(8L))
     val name = c("proj", id)
     val version = c("1.", F.pmod(id, F.lit(10L)), ".0")
     val summary = c("Tool number ", id, ".")
     val homepage = c("https://proj", id, ".example.com/")
-    val ghRepo = c("https://github.com/org", F.pmod(id, F.lit(97L)), "/proj", id)
-    val glRepo = c("https://gitlab.com/org", F.pmod(id, F.lit(97L)), "/proj", id)
+    val org = F.pmod(id, F.lit(97L))
+    val ghRepo = c("https://github.com/org", org, "/proj", id)
+    val glRepo = c("https://gitlab.com/org", org, "/proj", id)
     val docsUrl = c("https://docs.example.com/proj", id)
 
-    val manifestRelpath = F.when(flavor === 0, "package.json")
-      .when(flavor === 1, "Cargo.toml")
-      .when(flavor === 2, "pyproject.toml")
-      .otherwise("package.yaml")
+    // one row per (doc, relpath, content); null content = file absent
+    def page(relpath: Column, content: Column): DataFrame =
+      base.select(
+        c("https://replay.invalid/", name, "/", relpath).as("url"),
+        content.as("text"),
+        F.col("lang"))
+        .where(F.col("text").isNotNull)
 
-    val manifestContent = F.when(flavor === 0,
-        c("{\"name\":\"", name, "\",\"version\":\"", version,
-          "\",\"description\":\"", summary, "\",\"homepage\":\"", homepage,
-          "\",\"license\":\"MIT\",\"repository\":\"", ghRepo, "\"}"))
-      .when(flavor === 1,
-        c("[package]\nname = \"", name, "\"\nversion = \"", version,
-          "\"\ndescription = \"", summary, "\"\nhomepage = \"", homepage,
-          "\"\nlicense = \"MIT\"\nrepository = \"", ghRepo, "\"\n"))
-      .when(flavor === 2,
-        c("[tool.poetry]\nname = \"", name, "\"\nversion = \"", version,
-          "\"\ndescription = \"", summary, "\"\nlicense = \"MIT\"\nhomepage = \"",
-          homepage, "\"\ndocumentation = \"", docsUrl,
-          "\"\nrepository = \"", glRepo, "\"\n"))
-      .otherwise(
-        c("name: ", name, "\nversion: ", version, "\nsynopsis: ", summary,
-          "\nlicense: MIT\ngithub: org", F.pmod(id, F.lit(97L)), "/proj", id, "\n"))
+    val manifest = page(
+      F.when(flavor === 0, "package.json")
+        .when(flavor === 1, "Cargo.toml")
+        .when(flavor === 2, "pyproject.toml")
+        .when(flavor === 3, "package.yaml")
+        .when(flavor === 4, "debian/changelog")
+        .when(flavor === 5, c(name, ".cabal"))
+        .when(flavor === 6, "setup.py")
+        .otherwise("dist.ini"),
+      F.when(flavor === 0,
+          c("{\"name\":\"", name, "\",\"version\":\"", version,
+            "\",\"description\":\"", summary, "\",\"homepage\":\"", homepage,
+            "\",\"license\":\"MIT\",\"repository\":\"", ghRepo, "\"}"))
+        .when(flavor === 1,
+          c("[package]\nname = \"", name, "\"\nversion = \"", version,
+            "\"\ndescription = \"", summary, "\"\nhomepage = \"", homepage,
+            "\"\nlicense = \"MIT\"\nrepository = \"", ghRepo, "\"\n"))
+        .when(flavor === 2,
+          c("[tool.poetry]\nname = \"", name, "\"\nversion = \"", version,
+            "\"\ndescription = \"", summary, "\"\nlicense = \"MIT\"\nhomepage = \"",
+            homepage, "\"\ndocumentation = \"", docsUrl,
+            "\"\nrepository = \"", glRepo, "\"\n"))
+        .when(flavor === 3,
+          c("name: ", name, "\nversion: ", version, "\nsynopsis: ", summary,
+            "\nlicense: MIT\ngithub: org", org, "/proj", id, "\n"))
+        .when(flavor === 4,
+          c(name, " (", version, "-1) unstable; urgency=medium\n\n",
+            "  * Initial release. (Closes: #9", id, ")\n\n",
+            " -- Dev ", id, " <dev", id, "@example.com>  Mon, 05 Jan 2026 10:00:00 +0000\n"))
+        .when(flavor === 5,
+          c("name: ", name, "\nversion: ", version, "\nsynopsis: ", summary,
+            "\nlicense: MIT\nhomepage: ", homepage,
+            "\nbug-reports: ", ghRepo, "/issues\n",
+            "source-repository head\n  type: git\n  location: ", ghRepo, ".git\n"))
+        .when(flavor === 6,
+          c("from setuptools import setup\nsetup(name=\"", name,
+            "\",\n      version=\"", version,
+            "\",\n      description=\"", summary,
+            "\",\n      url=\"", homepage,
+            "\",\n      license=\"MIT\")\n"))
+        .otherwise(
+          c("name = ", name, "\nversion = ", version, "\nabstract = ", summary,
+            "\nlicense = MIT\n[MetaResources]\nbugtracker.web = ", ghRepo,
+            "/issues\nrepository.url = ", ghRepo, ".git\n")))
 
-    val manifest = base.select(
-      c("https://replay.invalid/", name, "/", manifestRelpath).as("url"),
-      manifestContent.as("text"),
-      F.col("lang"))
+    // flavor 4's sibling files: extraction needs all of them per subject
+    val debControl = page(
+      F.when(flavor === 4, "debian/control").otherwise(F.lit(null)),
+      F.when(flavor === 4,
+        c("Source: ", name, "\nHomepage: ", homepage,
+          "\n\nPackage: ", name, "\nDescription: ", summary,
+          "\n Frobnicates widget number ", id, ".\n")))
+    val debFormat = page(
+      F.when(flavor === 4, "debian/source/format").otherwise(F.lit(null)),
+      F.when(flavor === 4, F.lit("3.0 (quilt)\n")))
+    val debWatch = page(
+      F.when(flavor === 4, "debian/watch").otherwise(F.lit(null)),
+      F.when(flavor === 4,
+        c("version=4\nopts=\"mode=git\" ", ghRepo, ".git HEAD\n")))
 
-    val readme = base.select(
-      c("https://replay.invalid/", name, "/README").as("url"),
-      F.col("text"),
-      F.col("lang"))
+    val readme = page(F.lit("README"), F.col("text"))
 
-    manifest.unionByName(readme)
+    manifest
+      .unionByName(debControl).unionByName(debFormat).unionByName(debWatch)
+      .unionByName(readme)
       .withColumn("warc_ts", F.to_timestamp(F.lit(FixedTs)))
       .withColumn("html", F.col("text").cast("binary"))
       .select("url", "warc_ts", "html", "text", "lang")

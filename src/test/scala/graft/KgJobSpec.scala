@@ -26,10 +26,14 @@ class KgJobSpec extends AnyFunSuite {
     val pages = SynthPages.fromDocuments(docs)
     val out = freshDir("kgjob")
 
+    // per-flavor canonical triple counts over doc_id % 8 (see SynthPages):
+    // 12 full cycles of 77 + docs 96..99 (flavors 0-3)
+    val expectedTriples = 12 * (10 + 11 + 11 + 10 + 10 + 9 + 6 + 10) + (10 + 11 + 11 + 10)
+
     val first = KgJob.run(spark, pages, out, buckets = 8)
     assert(first == 8)
     val triples1 = spark.read.parquet(s"$out/triples").count()
-    assert(triples1 == 25 * (10 + 11 + 11 + 10))
+    assert(triples1 == expectedTriples)
 
     // simulate a restart after partial completion: drop two commit markers
     // and their outputs
@@ -40,7 +44,12 @@ class KgJobSpec extends AnyFunSuite {
     assert(second == 2) // only the uncommitted buckets re-ran
     assert(KgJob.committedBuckets(out).size == 8)
     val triples2 = spark.read.parquet(s"$out/triples").count()
-    assert(triples2 == 25 * (10 + 11 + 11 + 10)) // overwrite per bucket → no duplicates
+    assert(triples2 == expectedTriples) // overwrite per bucket → no duplicates
+    // resume must not duplicate lineage either (per-bucket lineage protocol):
+    // every input page accounted for exactly once
+    val lineage = spark.read.parquet(s"$out/lineage")
+      .agg(org.apache.spark.sql.functions.sum("input_rows")).first.getLong(0)
+    assert(lineage == pages.count())
   }
 
   test("streaming variant produces the same triples as batch") {
@@ -49,7 +58,11 @@ class KgJobSpec extends AnyFunSuite {
     val in = freshDir("kgstream_in")
     val outDir = freshDir("kgstream_out")
     val ckpt = freshDir("kgstream_ckpt")
-    pages.write.mode("overwrite").parquet(in)
+    // the streaming contract (KgStreaming doc): a subject's pages co-arrive
+    // within a capture — deliver them co-located, as a crawl stream would
+    pages.repartition(4, org.apache.spark.sql.functions.expr(
+        "substring_index(url, '/', 4)"))
+      .write.mode("overwrite").parquet(in)
 
     val schema = spark.read.parquet(in).schema
     val q = KgStreaming.start(spark, in, outDir, ckpt, schema)
@@ -62,6 +75,6 @@ class KgJobSpec extends AnyFunSuite {
       .select("subj", "pred", "obj").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(streamed == batch)
-    assert(streamed.size == 12 * (10 + 11 + 11 + 10))
+    assert(streamed.size == 6 * (10 + 11 + 11 + 10 + 10 + 9 + 6 + 10))
   }
 }

@@ -128,7 +128,8 @@ class SparkSmokeSpec extends AnyFunSuite {
     val canon = KgEngine.extractCanonical(spark, pages)
     val e = KgEngine.edges(canon)
     val n = KgEngine.nodes(canon)
-    assert(e.count() == 5 * (5 + 5 + 6 + 5)) // url-typed preds per flavor
+    // url-typed preds per flavor (doc_id % 8): 2 full cycles + flavors 0-3
+    assert(e.count() == 2 * (5 + 5 + 6 + 5 + 5 + 5 + 1 + 5) + (5 + 5 + 6 + 5))
     assert(n.count() > 20)
   }
 
