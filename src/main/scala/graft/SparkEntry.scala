@@ -204,10 +204,15 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) =>
       TrainingOps.annLsh(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
 
-    // ---------- multimodal plumbing ----------
+    // ---------- multimodal decode ----------
     "multimodal_decode" -> ((s, dir) => {
+      // deterministic BMP blobs (pure function of doc_id) exercise the real
+      // header decode; the oracle rebuilds the identical bytes in SQL
+      import s.implicits._
       val media = t(s, dir, "documents")
-        .select(F.col("doc_id"), F.col("text").cast("binary").as("blob"))
+        .select(F.col("doc_id").cast("long")).as[Long]
+        .map(id => (id, TrainingOps.syntheticBmp(id)))
+        .toDF("doc_id", "blob")
       TrainingOps.decodeMediaBatch(s, media).toDF().orderBy("doc_id")
     }),
 
@@ -280,6 +285,40 @@ object SparkEntry {
           (subj, graft.pipeline.Sinks.toCodemeta(md))
         }
         .toDF("subj", "codemeta")
+        .orderBy("subj")
+    }),
+    "kg_enrich_gated" -> ((s, dir) => {
+      // anti-join-gated registry enrichment: a synthetic external directory
+      // claims Version 9.9.9 at Likely for every subject; only subjects whose
+      // Version is absent (cabal flavor) gain it — Certain/Confident
+      // extractions win the lattice, complete subjects never consult the
+      // registry at all
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val canon = KgEngine.extractCanonical(s, pages)
+      val registry = t(s, dir, "documents").select(
+        F.concat(F.lit("https://replay.invalid/proj"), F.col("doc_id"), F.lit("/")).as("subj"),
+        F.lit("Version").as("pred"),
+        F.lit("9.9.9").as("obj"))
+      KgEngine.enrichFromRegistry(canon, registry,
+          supportedFields = Seq("Version"), maxCertainty = 1)
+        .toDF()
+        .where(F.col("pred") === "Version")
+        .select("subj", "obj", "certainty")
+        .orderBy("subj")
+    }),
+    "kg_doap_sink" -> ((s, dir) => {
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val canon = KgEngine.extractCanonical(s, pages)
+      import s.implicits._
+      canon.groupByKey(_.subj)
+        .mapGroups { (subj, it) =>
+          val md = it.toList.sortBy(_.pred).map { t =>
+            graft.core.Datum(t.pred, graft.core.UStr(t.obj),
+              if (t.certainty < 0) None else Some(t.certainty), Some(t.origin))
+          }
+          (subj, graft.pipeline.Sinks.toDoap(md))
+        }
+        .toDF("subj", "doap")
         .orderBy("subj")
     }),
     "kg_lineage" -> ((s, dir) => {
@@ -578,12 +617,31 @@ object SparkEntry {
          FROM sim l JOIN sim r ON l.sh = r.sh AND l.doc_id < r.doc_id
          ORDER BY 1, 2""",
     "multimodal_decode" ->
-      """SELECT doc_id,
-         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-         CAST(1 + octet_length(encode(text)) % 640 AS INT) AS width,
-         CAST(1 + octet_length(encode(text)) % 480 AS INT) AS height,
-         md5(text) AS checksum
-         FROM documents ORDER BY doc_id""",
+      // rebuilds the synthetic BMP byte-for-byte as lowercase hex: 14-byte
+      // file header + 40-byte BITMAPINFOHEADER + zeroed 24bpp pixel rows
+      """WITH p AS (
+           SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 12 AS h
+           FROM documents
+         ),
+         q AS (
+           SELECT doc_id, w, h, ((24*w + 31) // 32) * 4 * h AS isize FROM p
+         ),
+         hexes AS (
+           SELECT doc_id, w, h, isize,
+             '424d'
+             || printf('%02x%02x0000', (54+isize)%256, (54+isize)//256)
+             || '00000000' || '36000000' || '28000000'
+             || printf('%02x000000', w) || printf('%02x000000', h)
+             || '0100' || '1800' || '00000000'
+             || printf('%02x%02x0000', isize%256, isize//256)
+             || repeat('00', 16)
+             || repeat('00', CAST(isize AS INT)) AS hex
+           FROM q
+         )
+         SELECT doc_id, CAST(54 + isize AS INT) AS n_bytes,
+                CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                md5(hex) AS checksum
+         FROM hexes ORDER BY doc_id""",
     "kg_canonical" ->
       s"""WITH $canonicalCte
          SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
@@ -652,6 +710,54 @@ object SparkEntry {
            ||coalesce(','||chr(10)||'  "issueTracker" : "'||bugdb||'"', '')
            ||coalesce(','||chr(10)||'  "license" : "'||license||'"', '')
            ||chr(10)||'}' AS codemeta
+         FROM m ORDER BY subj""",
+    "kg_enrich_gated" ->
+      // Version survives at its extracted certainty everywhere except the
+      // cabal flavor (5), where the registry's Likely value fills the gap
+      """SELECT 'https://replay.invalid/proj'||doc_id||'/' AS subj,
+         CASE WHEN doc_id % 8 = 5 THEN '9.9.9'
+              ELSE '1.'||(doc_id%10)||'.0' END AS obj,
+         CASE WHEN doc_id % 8 = 5 THEN 1
+              WHEN doc_id % 8 = 4 THEN 2 ELSE 3 END AS certainty
+         FROM documents ORDER BY subj""",
+    "kg_doap_sink" ->
+      // replicates Sinks.toDoap: field-sorted children, repository block last,
+      // resource-valued props as <rdf:resource rdf:resource="..."/> children
+      s"""WITH $canonicalCte,
+         m AS (
+           SELECT subj, max(flavor) AS flavor,
+             max(CASE WHEN pred='Name' THEN obj END) AS name,
+             max(CASE WHEN pred='Summary' THEN obj END) AS summary,
+             max(CASE WHEN pred='Description' THEN obj END) AS descr,
+             max(CASE WHEN pred='Homepage' THEN obj END) AS homepage,
+             max(CASE WHEN pred='Repository' THEN obj END) AS repo,
+             max(CASE WHEN pred='Repository-Browse' THEN obj END) AS browse,
+             max(CASE WHEN pred='Bug-Database' THEN obj END) AS bugdb
+           FROM expected GROUP BY subj
+         )
+         SELECT subj,
+           '<?xml version="1.0" encoding="UTF-8"?>'||chr(10)
+           ||'<doap:Project xmlns:doap="http://usefulinc.com/ns/doap" xmlns:foaf="http://xmlns.com/foaf/0.1/" xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns">'||chr(10)
+           ||coalesce('  <doap:bug-database>'||chr(10)
+             ||'    <rdf:resource rdf:resource="'||bugdb||'" />'||chr(10)
+             ||'  </doap:bug-database>'||chr(10), '')
+           ||'  <doap:description>'||descr||'</doap:description>'||chr(10)
+           ||'  <doap:homepage>'||chr(10)
+             ||'    <rdf:resource rdf:resource="'||homepage||'" />'||chr(10)
+             ||'  </doap:homepage>'||chr(10)
+           ||'  <doap:name>'||name||'</doap:name>'||chr(10)
+           ||'  <doap:shortdesc>'||summary||'</doap:shortdesc>'||chr(10)
+           ||coalesce('  <doap:repository>'||chr(10)
+             ||'    <doap:GitRepository>'||chr(10)
+             ||'      <doap:location>'||chr(10)
+             ||'        <rdf:resource rdf:resource="'||repo||'" />'||chr(10)
+             ||'      </doap:location>'||chr(10)
+             ||'      <doap:browse>'||chr(10)
+             ||'        <rdf:resource rdf:resource="'||browse||'" />'||chr(10)
+             ||'      </doap:browse>'||chr(10)
+             ||'    </doap:GitRepository>'||chr(10)
+             ||'  </doap:repository>'||chr(10), '')
+           ||'</doap:Project>'||chr(10) AS doap
          FROM m ORDER BY subj""",
     "kg_lineage" ->
       // pages per project: 2 (manifest + README), except debian's 5 files;

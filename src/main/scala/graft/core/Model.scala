@@ -229,4 +229,32 @@ object Merge {
     }
     changed.result()
   }
+
+  /** possible_fields_missing (src/lib.rs:2284-2297): true when any of
+    * `fields` is absent or held at less than Certain — the gate that decides
+    * whether an external registry is worth consulting at all.
+    */
+  def possibleFieldsMissing(metadata: Seq[Datum], fields: Seq[String]): Boolean =
+    fields.exists { f =>
+      metadata.find(_.field == f) match {
+        case Some(dt) => !dt.certainty.contains(Certainty.Certain)
+        case None     => true
+      }
+    }
+
+  /** extend_from_external_guesser (src/lib.rs:2299-2324): consult `newItems`
+    * only when a supported field is still missing/uncertain; accepted items
+    * carry `maxCertainty` and merge through the usual lattice (existing
+    * data of equal or higher certainty always wins).
+    */
+  def extendFromExternalGuesser(
+      metadata: scala.collection.mutable.ArrayBuffer[Datum],
+      maxCertainty: Int,
+      supportedFields: Seq[String],
+      newItems: () => List[(String, UValue)]
+  ): List[Datum] = {
+    if (!possibleFieldsMissing(metadata.toSeq, supportedFields)) return Nil
+    updateFromGuesses(metadata,
+      newItems().map { case (f, v) => Datum(f, v, Some(maxCertainty), None) })
+  }
 }

@@ -7,6 +7,7 @@ import graft.core._
   *     /root/reference/src/lib.rs:1518-1532, bin/guess-upstream-metadata.rs:151-155)
   *   - codemeta JSON (schema.org SoftwareSourceCode,
   *     /root/reference/src/bin/autocodemeta.rs:9-160)
+  *   - DOAP RDF/XML (/root/reference/src/bin/autodoap.rs:24-200)
   * Production tables (triples/nodes/edges/lineage) are written as parquet by
   * the Spark layer; these renderers serve the per-subject API surface.
   */
@@ -115,5 +116,71 @@ object Sinks {
       }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  // ---------- DOAP RDF/XML (autodoap.rs:24-200) ----------
+
+  /** Renders a doap:Project from canonical metadata. Field mapping and
+    * element order follow the reference's `doap_file_from_upstream_info`:
+    * handled fields emit children in arrival order; Repository and
+    * Repository-Browse are collected and appended LAST inside
+    * doap:repository > doap:GitRepository. Resource-valued properties keep
+    * the reference's (unusual) child-element shape
+    * `<rdf:resource rdf:resource="url"/>` (autodoap.rs:13-22). The emitter
+    * itself is this library's own stable 2-space-indent format (the
+    * reference's byte layout is an xmltree EmitterConfig artifact, not
+    * semantics).
+    */
+  def toDoap(metadata: List[Datum]): String = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def escAttr(s: String): String = esc(s).replace("\"", "&quot;")
+
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append("<doap:Project xmlns:doap=\"http://usefulinc.com/ns/doap\"")
+      .append(" xmlns:foaf=\"http://xmlns.com/foaf/0.1/\"")
+      .append(" xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns\">\n")
+
+    def text(tag: String, v: String): Unit =
+      sb.append("  <doap:").append(tag).append(">").append(esc(v))
+        .append("</doap:").append(tag).append(">\n")
+    def resource(tag: String, url: String, indent: String = "  "): Unit = {
+      sb.append(indent).append("<doap:").append(tag).append(">\n")
+        .append(indent).append("  <rdf:resource rdf:resource=\"")
+        .append(escAttr(url)).append("\" />\n")
+        .append(indent).append("</doap:").append(tag).append(">\n")
+    }
+
+    var repository: Option[String] = None
+    var repositoryBrowse: Option[String] = None
+    for (dt <- metadata) (dt.field, dt.value) match {
+      case ("Screenshots", UStrings(us)) => us.foreach(resource("screenshots", _))
+      case (field, _) => dt.str.foreach { v =>
+        field match {
+          case "Name"              => text("name", v)
+          case "Homepage"          => resource("homepage", v)
+          case "Summary"           => text("shortdesc", v)
+          case "Description"       => text("description", v)
+          case "Download"          => resource("download-page", v)
+          case "MailingList"       => resource("mailing-list", v)
+          case "Bug-Database"      => resource("bug-database", v)
+          case "Security-Contact"  => resource("security-contact", v)
+          case "Wiki"              => resource("wiki", v)
+          case "Repository"        => repository = Some(v)
+          case "Repository-Browse" => repositoryBrowse = Some(v)
+          case _                   => ()
+        }
+      }
+    }
+
+    if (repository.isDefined || repositoryBrowse.isDefined) {
+      sb.append("  <doap:repository>\n    <doap:GitRepository>\n")
+      repository.foreach(resource("location", _, "      "))
+      repositoryBrowse.foreach(resource("browse", _, "      "))
+      sb.append("    </doap:GitRepository>\n  </doap:repository>\n")
+    }
+    sb.append("</doap:Project>\n")
+    sb.toString
   }
 }

@@ -300,6 +300,47 @@ object KgEngine {
       .drop("salt")
   }
 
+  /** Distributed `extend_from_external_guesser` (src/lib.rs:2299-2324): the
+    * per-subject "possible_fields_missing" gate becomes an ANTI-JOIN — the
+    * registry's datums are kept only for subjects where some supported field
+    * is still absent or below Certain, then merged through the usual lattice
+    * (existing data of equal or higher certainty wins, so `maxCertainty`-
+    * capped registry rows can only fill gaps). At crawl scale the gate is
+    * what keeps the enrichment join proportional to the incomplete subjects
+    * rather than the whole graph.
+    */
+  def enrichFromRegistry(
+      canon: Dataset[CanonTriple],
+      registry: DataFrame,            // (subj, pred, obj) external directory
+      supportedFields: Seq[String],
+      maxCertainty: Int
+  ): Dataset[CanonTriple] = {
+    import canon.sparkSession.implicits._
+    val cd = canon.toDF()
+    val fieldList = supportedFields.map(x => x: Any)
+    // subjects that already hold every supported field at Certain
+    val complete = cd
+      .where(F.col("pred").isin(fieldList: _*) &&
+             F.col("certainty") === Certainty.Certain)
+      .groupBy("subj").agg(F.countDistinct("pred").as("n_certain"))
+      .where(F.col("n_certain") === supportedFields.size)
+      .select("subj")
+    val gated = registry
+      .where(F.col("pred").isin(fieldList: _*))
+      .join(complete, Seq("subj"), "left_anti")
+    val newRaw = gated.select(
+      F.col("subj"), F.col("pred"), F.col("obj"), F.lit("").as("obj_json"),
+      F.lit(maxCertainty).as("certainty"),
+      F.lit("external-registry").as("origin"),
+      F.lit(1).as("guesser_rank"), F.lit(0).as("seq"))
+    val existingRaw = cd.select(
+      F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
+      F.col("certainty"), F.col("origin"),
+      F.lit(0).as("guesser_rank"), F.lit(0).as("seq"))
+    canonicalize(existingRaw.unionByName(newRaw).as[RawTriple])
+      .as[CanonTriple]
+  }
+
   /** Resume manifest: subjects hash into `buckets`; completed buckets are
     * recorded in a manifest table, and a restarted job anti-joins them away
     * without re-emitting committed partitions (north rule).

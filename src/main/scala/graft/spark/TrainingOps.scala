@@ -345,31 +345,59 @@ object TrainingOps {
   final case class MediaFeature(
       doc_id: Long, n_bytes: Int, width: Int, height: Int, checksum: String)
 
-  /** Multimodal decode plumbing: media arrives as opaque binary; decode runs
-    * batched per partition. The actual image decode is STUBBED with a
-    * deterministic fake (no codecs in this container) — the Spark-side
-    * contract (binary column in, typed feature rows out, batched
-    * per-partition execution) is real.
+  private def le32(bytes: Array[Byte], off: Int): Int =
+    (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+    ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+
+  /** Multimodal decode: media arrives as opaque binary; decode runs batched
+    * per partition. BMP (the one format parseable without codec libraries)
+    * is decoded for real — magic, BITMAPINFOHEADER width/height. Other
+    * payloads fall back to a documented length-derived shape (a production
+    * build swaps in a vectorized codec at the marked point; the Spark-side
+    * contract — binary in, typed features out, batched execution — is the
+    * same). The checksum is md5 over the lowercase hex encoding of the blob,
+    * an engine-neutral fingerprint any SQL oracle reproduces.
     */
   def decodeMediaBatch(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
     media.select(F.col("doc_id").cast("long"), F.col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.grouped(64).flatMap { batch =>
-          // STUB: a real implementation hands `batch` to a vectorized decoder.
-          batch.iterator.map { case (id, bytes) =>
-            val n = if (bytes == null) 0 else bytes.length
+          // batch boundary: a vectorized decoder takes `batch` wholesale here
+          batch.iterator.map { case (id, bytes0) =>
+            val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+            val n = bytes.length
+            val isBmp = n >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte
+            val (w, h) =
+              if (isBmp) (le32(bytes, 18), le32(bytes, 22))
+              else (1 + (n % 640), 1 + (n % 480)) // codec-free fallback shape
+            md.reset()
+            val hex = bytes.map("%02x".format(_)).mkString
             MediaFeature(
-              doc_id = id,
-              n_bytes = n,
-              width = 1 + (n % 640),
-              height = 1 + (n % 480),
-              checksum = java.security.MessageDigest.getInstance("MD5")
-                .digest(if (bytes == null) Array.emptyByteArray else bytes)
+              doc_id = id, n_bytes = n, width = w, height = h,
+              checksum = md.digest(hex.getBytes("US-ASCII"))
                 .map("%02x".format(_)).mkString)
           }
         }
       }
+  }
+
+  /** Deterministic 24-bit all-black BMP for doc `id` (width 1+id%16, height
+    * 1+id%12) — the synthetic media payload for decode tests and oracles.
+    */
+  def syntheticBmp(id: Long): Array[Byte] = {
+    val w = (1 + id % 16).toInt
+    val h = (1 + id % 12).toInt
+    val rowSize = ((24 * w + 31) / 32) * 4
+    val imageSize = rowSize * h
+    val fileSize = 54 + imageSize
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(imageSize).putInt(0).putInt(0).putInt(0).putInt(0)
+    b.array() // pixel region stays zeroed (all black)
   }
 }

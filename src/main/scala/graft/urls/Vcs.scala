@@ -308,6 +308,22 @@ object Vcs {
     if (SecureSchemes.contains(u.scheme)) Some(u) else None
   }
 
+  /** version_in_tags (vcs.rs:145-170): does a tag list plausibly contain a
+    * release for `version`? Pure part of the repository version-probe (the
+    * probe itself is network-only).
+    */
+  def versionInTags(version: String, tagNames: Seq[String]): Boolean = {
+    if (tagNames.contains(version)) return true
+    if (tagNames.contains(s"v$version")) return true
+    if (tagNames.contains(s"release/$version")) return true
+    val underscored = version.replace('.', '_')
+    if (tagNames.contains(underscored)) return true
+    tagNames.exists { t =>
+      t.endsWith(s"_$version") || t.endsWith(s"-$version") ||
+      t.endsWith(s"_$underscored")
+    }
+  }
+
   /** guess_repo_from_url (vcs.rs:402-641), net access off. */
   def guessRepoFromUrl(u: UrlLite): Option[String] = {
     val segs: Vector[String] = u.pathSegments.getOrElse(Vector.empty)

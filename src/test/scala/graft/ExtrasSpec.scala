@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.urls.Vcs
+
+/** Unit vectors for the round-2 additions: DOAP sink, version_in_tags,
+  * external-guesser gating, BMP decode.
+  */
+class ExtrasSpec extends AnyFunSuite {
+
+  test("toDoap renders project fields with repository block last") {
+    val md = List(
+      Datum("Bug-Database", UStr("https://github.com/o/p/issues"), Some(3), None),
+      Datum("Description", UStr("Does <things> & more.\n"), Some(0), None),
+      Datum("Homepage", UStr("https://p.example.com/"), Some(3), None),
+      Datum("Name", UStr("p"), Some(3), None),
+      Datum("Repository", UStr("https://github.com/o/p.git"), Some(3), None),
+      Datum("Repository-Browse", UStr("https://github.com/o/p"), Some(3), None),
+      Datum("Summary", UStr("A tool"), Some(3), None),
+      Datum("Version", UStr("1.0"), Some(3), None)) // ignored by DOAP
+    val doap = graft.pipeline.Sinks.toDoap(md)
+    assert(doap.startsWith("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<doap:Project "))
+    assert(doap.contains("<doap:name>p</doap:name>"))
+    assert(doap.contains("<doap:shortdesc>A tool</doap:shortdesc>"))
+    assert(doap.contains("<doap:description>Does &lt;things&gt; &amp; more.\n</doap:description>"))
+    assert(doap.contains(
+      "<doap:bug-database>\n    <rdf:resource rdf:resource=\"https://github.com/o/p/issues\" />\n  </doap:bug-database>"))
+    // repository block renders last, nested GitRepository with location+browse
+    val repoBlock = doap.indexOf("<doap:repository>")
+    assert(repoBlock > doap.indexOf("<doap:shortdesc>"))
+    assert(doap.contains("<doap:GitRepository>"))
+    assert(doap.contains("<doap:location>\n        <rdf:resource rdf:resource=\"https://github.com/o/p.git\" />"))
+    assert(doap.contains("<doap:browse>\n        <rdf:resource rdf:resource=\"https://github.com/o/p\" />"))
+    assert(!doap.contains(">1.0<")) // Version has no DOAP mapping
+    assert(doap.endsWith("</doap:Project>\n"))
+  }
+
+  test("version_in_tags vectors (vcs.rs:145-170)") {
+    assert(Vcs.versionInTags("1.2.3", Seq("1.2.3")))
+    assert(Vcs.versionInTags("1.2.3", Seq("v1.2.3")))
+    assert(Vcs.versionInTags("1.2.3", Seq("release/1.2.3")))
+    assert(Vcs.versionInTags("1.2.3", Seq("1_2_3")))
+    assert(Vcs.versionInTags("1.2.3", Seq("foo_1.2.3")))
+    assert(Vcs.versionInTags("1.2.3", Seq("foo-1.2.3")))
+    assert(Vcs.versionInTags("1.2.3", Seq("foo_1_2_3")))
+    assert(!Vcs.versionInTags("1.2.3", Seq("1.2.4", "v2.0", "rel_1.2.30x")))
+  }
+
+  test("possible_fields_missing and gated external extension") {
+    import scala.collection.mutable.ArrayBuffer
+    val md = ArrayBuffer(
+      Datum("Name", UStr("p"), Some(Certainty.Certain), None),
+      Datum("Version", UStr("1.0"), Some(Certainty.Confident), None))
+    assert(!Merge.possibleFieldsMissing(md.toSeq, Seq("Name")))
+    assert(Merge.possibleFieldsMissing(md.toSeq, Seq("Version"))) // below Certain
+    assert(Merge.possibleFieldsMissing(md.toSeq, Seq("Homepage"))) // absent
+
+    // gate closed: external guesser never consulted
+    var called = 0
+    Merge.extendFromExternalGuesser(md, Certainty.Likely, Seq("Name"),
+      () => { called += 1; List(("Name", UStr("other"))) })
+    assert(called == 0 && md.find(_.field == "Name").get.str.contains("p"))
+
+    // gate open: fills the gap at maxCertainty, loses to higher certainty
+    Merge.extendFromExternalGuesser(md, Certainty.Likely, Seq("Version", "Homepage"),
+      () => { called += 1
+        List(("Version", UStr("9.9")), ("Homepage", UStr("https://x/"))) })
+    assert(called == 1)
+    assert(md.find(_.field == "Version").get.str.contains("1.0")) // Confident wins
+    assert(md.find(_.field == "Homepage").get.certainty.contains(Certainty.Likely))
+  }
+
+  test("BMP decode reads header dimensions; non-BMP falls back") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import graft.spark.TrainingOps
+    val bmp = TrainingOps.syntheticBmp(37) // w = 1+37%16 = 6, h = 1+37%12 = 2
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    val media = spark.createDataFrame(Seq(
+      (37L, bmp), (1L, "not an image".getBytes("UTF-8"))
+    )).toDF("doc_id", "blob")
+    val out = TrainingOps.decodeMediaBatch(spark, media)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(37L).width == 6 && out(37L).height == 2)
+    assert(out(37L).n_bytes == bmp.length)
+    val n = "not an image".length
+    assert(out(1L).width == 1 + n % 640 && out(1L).height == 1 + n % 480)
+  }
+}
