@@ -1462,6 +1462,60 @@ object Extractors {
     }
   }
 
+  /** metadata_from_itp_bug_body (src/providers/debian.rs:68-183): parses the
+    * pseudo-header block of a Debian ITP bug report plus the free-form
+    * description that follows. Pure text→datums — only the bug FETCH is
+    * network (out of scope); exposed for callers that already hold the body.
+    */
+  def metadataFromItpBugBody(origin: Option[String], body: String): Result = {
+    // mirror Rust split_terminator: drop a single trailing empty piece
+    val all = body.split("\n", -1)
+    val lines = (if (all.nonEmpty && all.last.isEmpty) all.dropRight(1) else all).iterator
+    def nextOpt(): Option[String] = if (lines.hasNext) Some(lines.next()) else None
+
+    // skip the bug-metadata block (severity, owner, …) up to a blank line
+    var cur = nextOpt()
+    while (cur.exists(l => l.trim.nonEmpty)) cur = nextOpt()
+    if (cur.isDefined) cur = nextOpt()
+    // skip fully-empty lines before the pseudo-header block
+    while (cur.exists(_.isEmpty)) cur = nextOpt()
+
+    val out = List.newBuilder[Datum]
+    var done = false
+    while (!done && cur.isDefined) {
+      val line = cur.get.dropWhile(_ == '*').replaceAll("^\\s+", "")
+      if (line.isEmpty) done = true
+      else {
+        line.split(":", 2) match {
+          case Array(key0, value0) =>
+            val key = key0.trim
+            val value = value0.trim
+            key match {
+              case "Package name" => out += Datum("Name", UStr(value), Some(Confident), origin)
+              case "Version"      => out += Datum("Version", UStr(value), Some(Possible), origin)
+              case "Upstream Author" if value.nonEmpty =>
+                out += Datum("Author", UPersons(List(Person.parse(value))), Some(Confident), origin)
+              case "URL"         => out += Datum("Homepage", UStr(value), Some(Confident), origin)
+              case "License"     => out += Datum("License", UStr(value), Some(Confident), origin)
+              case "Description" => out += Datum("Summary", UStr(value), Some(Confident), origin)
+              case _             => () // unknown pseudo-header: ignored
+            }
+          case _ => () // non-field line: ignored
+        }
+        cur = nextOpt()
+      }
+    }
+
+    val rest = List.newBuilder[String]
+    var stop = false
+    while (!stop && lines.hasNext) {
+      val l = lines.next()
+      if (l.trim == "-- System Information:") stop = true else rest += l
+    }
+    out += Datum("Description", UStr(rest.result().mkString("\n")), Some(Likely), origin)
+    Right(out.result())
+  }
+
   private val ItpRe = java.util.regex.Pattern
     .compile("\\* Initial release. \\(?Closes: #(\\d+)\\)?")
 

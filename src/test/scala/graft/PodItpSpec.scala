@@ -52,6 +52,38 @@ class PodItpSpec extends AnyFunSuite {
     assert(Extractors.findItp(List("* Initial packaging")) == None)
   }
 
+  test("metadata_from_itp_bug_body matches the reference inline vector (debian.rs:185-240)") {
+    val body =
+      """Package: wnpp
+        |Severity: wishlist
+        |Owner: Jelmer Vernooij <jelmer@debian.org>
+        |Debbugs-Cc: debian-devel@lists.debian.org
+        |
+        |* Package name    : setuptools-gettext
+        |  Version         : 0.0.1
+        |  Upstream Author : Breezy Team <breezy-core@googlegroups.com>
+        |* URL             : https://github.com/jelmer/setuptools-gettext
+        |* License         : GPL
+        |  Programming Lang: Python
+        |  Description     : Compile .po files into .mo files
+        |
+        |This extension for setuptools compiles gettext .po files
+        |found in the source directory into .mo files and installs them.
+        |
+        |""".stripMargin
+    val ds = Extractors.metadataFromItpBugBody(None, body).toOption.get
+    assert(ds.map(d => (d.field, d.value, d.certainty)) == List(
+      ("Name", UStr("setuptools-gettext"), Some(Certainty.Confident)),
+      ("Version", UStr("0.0.1"), Some(Certainty.Possible)),
+      ("Author", UPersons(List(Person(Some("Breezy Team"),
+        Some("breezy-core@googlegroups.com"), None))), Some(Certainty.Confident)),
+      ("Homepage", UStr("https://github.com/jelmer/setuptools-gettext"), Some(Certainty.Confident)),
+      ("License", UStr("GPL"), Some(Certainty.Confident)),
+      ("Summary", UStr("Compile .po files into .mo files"), Some(Certainty.Confident)),
+      ("Description", UStr("This extension for setuptools compiles gettext .po files\nfound in the source directory into .mo files and installs them.\n"),
+        Some(Certainty.Likely))))
+  }
+
   test("debianChangelog emits Debian-ITP at Certain") {
     val cl = "foo (2.0-1) unstable; urgency=low\n\n  * Initial release. (Closes: #42)\n\n -- A <a@b.c>  Mon, 05 Jan 2026 10:00:00 +0000\n"
     val ds = Extractors.debianChangelog("debian/changelog", cl).toOption.get

@@ -39,6 +39,18 @@ class SparkSmokeSpec extends AnyFunSuite {
     assert(viaAgg == local)
   }
 
+  test("pre-extract variant == grouped variant on the 8-flavor synth corpus") {
+    // flavor 4 routes debian sibling files through the deferred ("x") path;
+    // the two engines must agree on every flavor, not just reference fixtures
+    import spark.implicits._
+    val pages = SynthPages.fromDocuments(docs.where("doc_id < 64"))
+    def key(t: graft.spark.Model.CanonTriple) =
+      (t.subj, t.pred, t.obj, t.certainty, t.origin)
+    val grouped = KgEngine.extractCanonical(spark, pages).collect().map(key).toSet
+    val pre = KgEngine.extractCanonicalPreExtract(spark, pages).collect().map(key).toSet
+    assert(pre == grouped)
+  }
+
   test("resume buckets partition subjects disjointly and completely") {
     val pages = SynthPages.fromDocuments(docs.where("doc_id < 100"))
     val all = KgEngine.extractCanonical(spark, pages).count()
