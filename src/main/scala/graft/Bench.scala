@@ -75,15 +75,13 @@ object ScalingBench {
       // many small reduce tasks (≫ cores) so task waves pack tightly;
       // AQE would otherwise coalesce to ~1 wave + remainder (stragglers)
       .config("spark.sql.shuffle.partitions", cores * 8)
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/tmp"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
-      .config("spark.sql.shuffle.partitions", cores * 3)
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "8m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val profile = sys.env.contains("SPARK_GRAFT_PROFILE")

@@ -287,6 +287,20 @@ object SparkEntry {
         .toDF("subj", "codemeta")
         .orderBy("subj")
     }),
+    "kg_linking_fuzzy" -> ((s, dir) => {
+      // corpus vocabulary fuzzy-matched against registry aliases by 3-gram
+      // Jaccard; gram-join blocking keeps the verify off the cross product
+      val vocab = t(s, dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).as("term"))
+        .distinct()
+      val registry = s.createDataFrame(Seq(
+        ("sparky", "ent_spark"), ("streams", "ent_stream"),
+        ("filters", "ent_filter"), ("windowed", "ent_window"),
+        ("merge", "ent_merge"), ("zzznomatch", "ent_none")
+      )).toDF("alias", "entity_id")
+      KgEngine.linkEntitiesFuzzy(vocab, registry, threshold = 0.5)
+        .orderBy("term", "entity_id")
+    }),
     "kg_enrich_gated" -> ((s, dir) => {
       // anti-join-gated registry enrichment: a synthetic external directory
       // claims Version 9.9.9 at Likely for every subject; only subjects whose
@@ -711,6 +725,33 @@ object SparkEntry {
            ||coalesce(','||chr(10)||'  "license" : "'||license||'"', '')
            ||chr(10)||'}' AS codemeta
          FROM m ORDER BY subj""",
+    "kg_linking_fuzzy" ->
+      """WITH vocab AS (
+           SELECT DISTINCT unnest(string_split(text, ' ')) AS term FROM documents
+         ),
+         r(alias, entity_id) AS (VALUES
+           ('sparky', 'ent_spark'), ('streams', 'ent_stream'),
+           ('filters', 'ent_filter'), ('windowed', 'ent_window'),
+           ('merge', 'ent_merge'), ('zzznomatch', 'ent_none')),
+         tg AS (
+           SELECT term, list_distinct(list_transform(range(length(term) - 2),
+                    i -> substr(term, CAST(i + 1 AS INT), 3))) AS gs
+           FROM vocab WHERE length(term) >= 3
+         ),
+         ag AS (
+           SELECT alias, entity_id,
+                  list_distinct(list_transform(range(length(alias) - 2),
+                    i -> substr(alias, CAST(i + 1 AS INT), 3))) AS gs
+           FROM r WHERE length(alias) >= 3
+         )
+         SELECT term, entity_id,
+                CAST(length(list_intersect(tg.gs, ag.gs)) AS DOUBLE)
+                  / length(list_distinct(list_concat(tg.gs, ag.gs))) AS jaccard
+         FROM tg, ag
+         WHERE length(list_intersect(tg.gs, ag.gs)) > 0
+           AND CAST(length(list_intersect(tg.gs, ag.gs)) AS DOUBLE)
+                 / length(list_distinct(list_concat(tg.gs, ag.gs))) >= 0.5
+         ORDER BY term, entity_id""",
     "kg_enrich_gated" ->
       // Version survives at its extracted certainty everywhere except the
       // cabal flavor (5), where the registry's Likely value fills the gap

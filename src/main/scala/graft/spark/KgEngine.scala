@@ -300,6 +300,41 @@ object KgEngine {
       .drop("salt")
   }
 
+  /** Fuzzy entity linking: mention terms match registry aliases by character
+    * 3-gram Jaccard ≥ threshold. Blocking = the classic entity-resolution
+    * gram join (a candidate pair must share at least one 3-gram), so the
+    * verify step runs on candidates only — never the term×alias cross
+    * product. The registry/gram side broadcasts; for a registry too large to
+    * broadcast the same shape runs as a shuffle join on `gram`, and the
+    * MinHash banding of TrainingOps.minhashBands slots in as the coarser
+    * blocker. All arithmetic is exact (int gram-set sizes, one double
+    * division), so the operator is relationally oracle-checkable.
+    */
+  def linkEntitiesFuzzy(
+      terms: DataFrame,     // (term)
+      registry: DataFrame,  // (alias, entity_id)
+      threshold: Double = 0.5
+  ): DataFrame = {
+    def grams(col: String) = F.array_distinct(F.expr(
+      s"transform(sequence(1, length($col) - 2), i -> substring($col, i, 3))"))
+    val t = terms.where(F.length(F.col("term")) >= 3)
+      .withColumn("tg", grams("term"))
+    val r = registry.where(F.length(F.col("alias")) >= 3)
+      .withColumn("ag", grams("alias"))
+    val rGrams = r.select(F.col("alias"), F.explode(F.col("ag")).as("gram")).distinct()
+    val cand = t.select(F.col("term"), F.explode(F.col("tg")).as("gram"))
+      .join(F.broadcast(rGrams), Seq("gram"))
+      .select("term", "alias").distinct()
+    cand
+      .join(t.select("term", "tg"), Seq("term"))
+      .join(F.broadcast(r.select("alias", "ag", "entity_id")), Seq("alias"))
+      .withColumn("inter", F.size(F.array_intersect(F.col("tg"), F.col("ag"))))
+      .withColumn("uni", F.size(F.array_union(F.col("tg"), F.col("ag"))))
+      .withColumn("jaccard", F.col("inter").cast("double") / F.col("uni"))
+      .where(F.col("jaccard") >= threshold)
+      .select("term", "entity_id", "jaccard")
+  }
+
   /** Distributed `extend_from_external_guesser` (src/lib.rs:2299-2324): the
     * per-subject "possible_fields_missing" gate becomes an ANTI-JOIN — the
     * registry's datums are kept only for subjects where some supported field

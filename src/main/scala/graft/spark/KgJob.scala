@@ -92,9 +92,17 @@ object KgJob {
         .agg(F.count(F.lit(1)).as("input_rows"),
           F.sum(isCand(F.col("url")).cast("long")).as("emitted"))
       write(lin, "lineage")
+
+      // per-bucket output metrics from the cached triples (north rule:
+      // lineage + metrics rows per partition)
+      val met = canon.groupBy("bucket")
+        .agg(F.count(F.lit(1)).as("n_triples"),
+          F.countDistinct("subj").as("n_subjects"),
+          F.max("certainty").as("max_certainty"))
+      write(met, "metrics")
     } finally canon.unpersist()
 
-    // commit markers: a bucket is durable once all four tables landed
+    // commit markers: a bucket is durable once all five tables landed
     todo.foreach(b =>
       Files.write(manifestDir(outDir).resolve(s"bucket_$b"), Array.emptyByteArray))
     todo.size

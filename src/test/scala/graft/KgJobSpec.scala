@@ -50,6 +50,10 @@ class KgJobSpec extends AnyFunSuite {
     val lineage = spark.read.parquet(s"$out/lineage")
       .agg(org.apache.spark.sql.functions.sum("input_rows")).first.getLong(0)
     assert(lineage == pages.count())
+    // per-bucket metrics reconcile with the triples table
+    val metrics = spark.read.parquet(s"$out/metrics")
+      .agg(org.apache.spark.sql.functions.sum("n_triples")).first.getLong(0)
+    assert(metrics == expectedTriples)
   }
 
   test("streaming variant produces the same triples as batch") {
