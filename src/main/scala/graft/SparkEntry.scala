@@ -16,20 +16,22 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Shared input for the two entity-linking queries: term mentions harvested
-    * from document text plus a small term→entity registry.
+    * from document text plus a small term→entity registry. ONE scan of the
+    * corpus — terms explode per row and filter by containment — rather than
+    * a union of per-term scans (which would re-read the input once per term
+    * at crawl scale).
     */
   private def mentionsAndRegistry(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
-    val registry = s.createDataFrame(Seq(
-      ("spark", "ent_spark"), ("join", "ent_join"),
-      ("merge", "ent_merge"), ("vector", "ent_vector")
-    )).toDF("term", "entity_id")
-    val padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    val mentions = Seq("spark", "join", "merge", "vector")
-      .map(term => docs
-        .where(padded.contains(s" $term "))
-        .select(F.col("doc_id").cast("string").as("subj"), F.lit(term).as("term")))
-      .reduce(_ unionByName _)
+    val terms = Seq("spark", "join", "merge", "vector")
+    val registry = s.createDataFrame(terms.map(t => (t, s"ent_$t")))
+      .toDF("term", "entity_id")
+    val mentions = docs
+      .select(F.col("doc_id").cast("string").as("subj"),
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")).as("padded"))
+      .withColumn("term", F.explode(F.array(terms.map(F.lit): _*)))
+      .where(F.col("padded").contains(F.concat(F.lit(" "), F.col("term"), F.lit(" "))))
+      .select("subj", "term")
     (mentions, registry)
   }
 

@@ -29,12 +29,36 @@ object KgStreaming {
       .parquet(inputDir)
 
     pages.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         KgEngine.extractCanonical(batch.sparkSession, batch.toDF()).toDF()
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
           .write.mode("append").parquet(outputDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** Cross-crawl re-canonicalization: the appended triple log holds one
+    * observation per (subj, pred) per microbatch that saw the subject; a
+    * recrawl appends fresh observations. Compaction reduces the log to one
+    * row per key — highest certainty wins, ties go to the NEWEST batch (a
+    * recrawl refreshes equal-confidence facts). Same associative argmax as
+    * `KgEngine.canonicalize`; over an Iceberg table this is a MERGE INTO.
+    */
+  def compactLog(spark: SparkSession, logDir: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    spark.read.parquet(logDir)
+      .groupBy("subj", "pred")
+      .agg(F.max_by(
+        F.struct("obj", "obj_json", "certainty", "origin", "batch_id"),
+        F.struct(F.col("certainty"), F.col("batch_id"))).as("best"))
+      .select(
+        F.col("subj"), F.col("pred"),
+        F.col("best.obj").as("obj"),
+        F.col("best.obj_json").as("obj_json"),
+        F.col("best.certainty").as("certainty"),
+        F.col("best.origin").as("origin"),
+        F.col("best.batch_id").as("batch_id"))
   }
 }

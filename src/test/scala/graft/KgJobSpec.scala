@@ -80,5 +80,32 @@ class KgJobSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(streamed == batch)
     assert(streamed.size == 6 * (10 + 11 + 11 + 10 + 10 + 9 + 6 + 10))
+
+    // --- recrawl: a later capture re-delivers proj0's README with new text.
+    // The checkpoint resumes (only the new file is processed), the new
+    // observations append, and compaction keeps: the recrawled Description
+    // (equal certainty -> newest batch wins) but the original manifest-
+    // derived facts (higher certainty than the recrawl's path-Name).
+    import spark.implicits._
+    Seq(("https://replay.invalid/proj0/README", "recrawled body"))
+      .toDF("url", "text")
+      .withColumn("warc_ts", org.apache.spark.sql.functions
+        .to_timestamp(org.apache.spark.sql.functions.lit("2026-08-01 00:00:00")))
+      .withColumn("html", org.apache.spark.sql.functions.col("text").cast("binary"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .select("url", "warc_ts", "html", "text", "lang")
+      .write.mode("append").parquet(in)
+    val q2 = KgStreaming.start(spark, in, outDir, ckpt, schema)
+    q2.awaitTermination(120000)
+
+    val compacted = KgStreaming.compactLog(spark, outDir)
+      .where("subj = 'https://replay.invalid/proj0/'")
+      .collect().map(r => r.getString(1) -> (r.getString(2), r.getInt(4))).toMap
+    assert(compacted("Description")._1 == "recrawled body\n") // newest batch won the tie
+    assert(compacted("Name") == ("proj0", 3))                 // manifest certainty retained
+    // one row per (subj, pred) after compaction
+    val dupes = KgStreaming.compactLog(spark, outDir)
+      .groupBy("subj", "pred").count().where("count > 1").count()
+    assert(dupes == 0)
   }
 }
