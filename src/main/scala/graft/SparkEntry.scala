@@ -266,7 +266,7 @@ object SparkEntry {
       canon.groupByKey(_.subj)
         .mapGroups { (subj, it) =>
           val md = it.toList.sortBy(_.pred).map { t =>
-            graft.core.Datum(t.pred, graft.core.UStr(t.obj),
+            graft.core.Datum(t.pred, graft.spark.Model.valueFromForms(t.obj, t.obj_json),
               if (t.certainty < 0) None else Some(t.certainty), Some(t.origin))
           }
           (subj, graft.pipeline.Sinks.toYaml(md))
@@ -281,7 +281,7 @@ object SparkEntry {
       canon.groupByKey(_.subj)
         .mapGroups { (subj, it) =>
           val md = it.toList.sortBy(_.pred).map { t =>
-            graft.core.Datum(t.pred, graft.core.UStr(t.obj),
+            graft.core.Datum(t.pred, graft.spark.Model.valueFromForms(t.obj, t.obj_json),
               if (t.certainty < 0) None else Some(t.certainty), Some(t.origin))
           }
           (subj, graft.pipeline.Sinks.toCodemeta(md))
@@ -329,7 +329,7 @@ object SparkEntry {
       canon.groupByKey(_.subj)
         .mapGroups { (subj, it) =>
           val md = it.toList.sortBy(_.pred).map { t =>
-            graft.core.Datum(t.pred, graft.core.UStr(t.obj),
+            graft.core.Datum(t.pred, graft.spark.Model.valueFromForms(t.obj, t.obj_json),
               if (t.certainty < 0) None else Some(t.certainty), Some(t.origin))
           }
           (subj, graft.pipeline.Sinks.toDoap(md))
@@ -422,7 +422,9 @@ object SparkEntry {
          FROM documents
        ),
        expected AS (
-         SELECT subj, doc_id, flavor, 'Bug-Database' AS pred, repo||'/issues' AS obj
+         SELECT subj, doc_id, flavor, 'Author' AS pred,
+           'Dev '||doc_id||' <dev'||doc_id||'@example.com>' AS obj FROM d WHERE flavor = 0
+         UNION ALL SELECT subj, doc_id, flavor, 'Bug-Database', repo||'/issues'
            FROM d WHERE flavor != 6
          UNION ALL SELECT subj, doc_id, flavor, 'Bug-Submit', repo||'/issues/new'
            FROM d WHERE flavor != 6
@@ -465,8 +467,11 @@ object SparkEntry {
          FROM documents
        ),
        raw AS (
-         SELECT subj, 'Name' AS pred, 'proj'||doc_id AS obj,
-                CASE WHEN flavor = 4 THEN 2 ELSE 3 END AS certainty FROM d
+         SELECT subj, 'Author' AS pred,
+                'Dev '||doc_id||' <dev'||doc_id||'@example.com>' AS obj,
+                2 AS certainty FROM d WHERE flavor = 0
+         UNION ALL SELECT subj, 'Name', 'proj'||doc_id,
+                CASE WHEN flavor = 4 THEN 2 ELSE 3 END FROM d
          UNION ALL SELECT subj, 'Name', 'proj'||doc_id, 0 FROM d
          UNION ALL SELECT subj, 'Version', '1.'||(doc_id%10)||'.0',
                 CASE WHEN flavor = 4 THEN 2 ELSE 3 END FROM d WHERE flavor != 5
@@ -690,6 +695,10 @@ object SparkEntry {
          rendered AS (
            SELECT subj, pred,
              CASE
+               WHEN pred = 'Author'
+                 THEN 'Author:'||chr(10)||'- !Person'||chr(10)
+                   ||'    name: Dev '||doc_id||chr(10)
+                   ||'    email: dev'||doc_id||'@example.com'||chr(10)
                WHEN pred = 'Description' AND flavor != 4
                  THEN 'Description: |'||chr(10)||'  '||rtrim(obj, chr(10))||chr(10)
                WHEN pred = 'Debian-ITP'
@@ -704,7 +713,7 @@ object SparkEntry {
       // replicates Sinks.toCodemeta (Jackson pretty printer field order)
       s"""WITH $canonicalCte,
          m AS (
-           SELECT subj,
+           SELECT subj, max(flavor) AS flavor, max(doc_id) AS doc_id,
              max(CASE WHEN pred='Name' THEN obj END) AS name,
              max(CASE WHEN pred='Version' THEN obj END) AS version,
              max(CASE WHEN pred='Summary' THEN obj END) AS summary,
@@ -725,6 +734,13 @@ object SparkEntry {
            ||coalesce(','||chr(10)||'  "codeRepository" : "'||repo||'"', '')
            ||coalesce(','||chr(10)||'  "issueTracker" : "'||bugdb||'"', '')
            ||coalesce(','||chr(10)||'  "license" : "'||license||'"', '')
+           ||CASE WHEN flavor = 0 THEN
+               ','||chr(10)||'  "author" : [ {'||chr(10)
+               ||'    "@type" : "Person",'||chr(10)
+               ||'    "name" : "Dev '||doc_id||'",'||chr(10)
+               ||'    "email" : "dev'||doc_id||'@example.com"'||chr(10)
+               ||'  } ]'
+             ELSE '' END
            ||chr(10)||'}' AS codemeta
          FROM m ORDER BY subj""",
     "kg_linking_fuzzy" ->

@@ -111,6 +111,28 @@ object Model {
     out.result()
   }
 
+  /** Reconstructs the typed UValue from a triple's (obj, obj_json) forms —
+    * the inverse of `objForms` for payload shapes that round-trip (scalars,
+    * string lists, persons). Lets sink renderers recover structure from the
+    * triple tables without re-extracting.
+    */
+  def valueFromForms(obj: String, objJson: String): UValue =
+    if (objJson == null || objJson.isEmpty) UStr(obj)
+    else {
+      val node = mapper.readTree(objJson)
+      if (node.isArray) {
+        if (node.isEmpty) UStrings(Nil)
+        else if (node.get(0).isTextual) {
+          val b = List.newBuilder[String]; node.forEach(x => b += x.asText)
+          UStrings(b.result())
+        } else {
+          val b = List.newBuilder[Person]; node.forEach(x => b += personFrom(x))
+          UPersons(b.result())
+        }
+      } else if (node.isObject) UPerson(personFrom(node))
+      else UStr(obj)
+    }
+
   /** Canonical scalar + JSON forms of a datum payload for triple rows. */
   def objForms(v: UValue): (String, String) = v match {
     case UStr(s)      => (s, "")

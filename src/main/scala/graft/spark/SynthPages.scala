@@ -75,7 +75,8 @@ object SynthPages {
       F.when(flavor === 0,
           c("{\"name\":\"", name, "\",\"version\":\"", version,
             "\",\"description\":\"", summary, "\",\"homepage\":\"", homepage,
-            "\",\"license\":\"MIT\",\"repository\":\"", ghRepo, "\"}"))
+            "\",\"license\":\"MIT\",\"repository\":\"", ghRepo,
+            "\",\"author\":\"Dev ", id, " <dev", id, "@example.com>\"}"))
         .when(flavor === 1,
           c("[package]\nname = \"", name, "\"\nversion = \"", version,
             "\"\ndescription = \"", summary, "\"\nhomepage = \"", homepage,

@@ -28,7 +28,7 @@ class KgJobSpec extends AnyFunSuite {
 
     // per-flavor canonical triple counts over doc_id % 8 (see SynthPages):
     // 12 full cycles of 77 + docs 96..99 (flavors 0-3)
-    val expectedTriples = 12 * (10 + 11 + 11 + 10 + 10 + 9 + 6 + 10) + (10 + 11 + 11 + 10)
+    val expectedTriples = 12 * (11 + 11 + 11 + 10 + 10 + 9 + 6 + 10) + (11 + 11 + 11 + 10)
 
     val first = KgJob.run(spark, pages, out, buckets = 8)
     assert(first == 8)
@@ -79,7 +79,7 @@ class KgJobSpec extends AnyFunSuite {
       .select("subj", "pred", "obj").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(streamed == batch)
-    assert(streamed.size == 6 * (10 + 11 + 11 + 10 + 10 + 9 + 6 + 10))
+    assert(streamed.size == 6 * (11 + 11 + 11 + 10 + 10 + 9 + 6 + 10))
 
     // --- recrawl: a later capture re-delivers proj0's README with new text.
     // The checkpoint resumes (only the new file is processed), the new
