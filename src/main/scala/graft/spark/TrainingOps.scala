@@ -275,11 +275,13 @@ object TrainingOps {
       .select("query_id", "vec_id").distinct()
     val vecs = ds.toDF("vec_id", "embedding")
     val qvecs = ds.toDF("query_id", "qembedding")
-    val cosUdf = F.udf((a: Array[Float], b: Array[Float]) => cosine(a, b))
+    // native codegen'd expression, not a UDF — keeps the scoring inside the
+    // whole-stage span and reads ArrayData in place
+    graft.functions.CosineSimilarity.register(spark)
     val scored = cand
       .join(F.broadcast(qvecs.where(F.col("query_id") < nQueries)), "query_id")
       .join(vecs, "vec_id")
-      .withColumn("cosine", cosUdf(F.col("qembedding"), F.col("embedding")))
+      .withColumn("cosine", F.expr("cosine_sim(qembedding, embedding)"))
     val w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     scored.withColumn("rank", F.row_number().over(w))
       .where(F.col("rank") <= k)

@@ -71,6 +71,40 @@ class ExtrasSpec extends AnyFunSuite {
     assert(md.find(_.field == "Homepage").get.certainty.contains(Certainty.Likely))
   }
 
+  test("CosineSimilarity expression: codegen matches interpreted and the plan has no UDF") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import org.apache.spark.sql.{functions => F}
+    graft.functions.CosineSimilarity.register(spark)
+    val df = spark.createDataFrame(Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),   // identical → 1.0
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),               // orthogonal → 0.0
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f)),               // zero norm → 0.0
+      (Array(0.5f, -0.25f, 2.0f), Array(-1.5f, 0.75f, 0.125f))
+    )).toDF("a", "b")
+    val out = df.select(F.expr("cosine_sim(a, b)")).collect().map(_.getDouble(0))
+    def ref(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    assert(out(0) == 1.0 && out(1) == 0.0 && out(2) == 0.0)
+    assert(out(3) == ref(Array(0.5f, -0.25f, 2.0f), Array(-1.5f, 0.75f, 0.125f)))
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    def arr(vs: Float*) = CreateArray(vs.map(v => Literal(v)))
+    val e = graft.functions.CosineSimilarity(
+      arr(0.5f, -0.25f, 2.0f), arr(-1.5f, 0.75f, 0.125f))
+    assert(e.eval(null) == out(3))
+    // the ANN-LSH scoring plan must carry the native expression, not a ScalaUDF
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = graft.spark.TrainingOps.annLsh(emb).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), "UDF found in ANN plan")
+  }
+
   test("BMP decode reads header dimensions; non-BMP falls back") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
