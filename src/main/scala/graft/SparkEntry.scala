@@ -98,6 +98,11 @@ object SparkEntry {
           F.sum(centi("value")).as("total_value_centi"))
         .orderBy("event_type", "day")
     }),
+    "q5_window_form" -> ((s, dir) =>
+      // the streaming dailyCounts transform evaluated in batch mode — the
+      // same plan the watermarked stream runs per trigger
+      graft.spark.EventStreaming.dailyCounts(t(s, dir, "events"))
+        .orderBy("event_type", "day")),
     "q6_sessions" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .withColumn("tsec", F.unix_timestamp(F.col("ts")))
@@ -526,6 +531,11 @@ object SparkEntry {
       """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
          CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_value_centi
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q5_window_form" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_value_centi
+         FROM events GROUP BY 1, 2 ORDER BY 2, 1""",
     "q6_sessions" ->
       """WITH ev AS (
            SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec FROM events
