@@ -80,8 +80,14 @@ object ScalingBench {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/tmp"))
+      // small advisory + scan splits: the reduce stage must land MANY more
+      // tasks than cores or the last wave's stragglers dominate wall time
+      // (profiled: AQE's 8m advisory coalesced to 1.2 waves at 32 cores —
+      // stage cpuSum is flat from 8→32 cores, so packing IS the ceiling)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "8m"))
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "2m"))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION", "32m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val profile = sys.env.contains("SPARK_GRAFT_PROFILE")

@@ -587,6 +587,9 @@ object SparkEntry {
       """SELECT doc_id, length(text) AS n_chars_actual,
          length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
          length(list_distinct(string_split(text, ' '))) AS n_distinct,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+         ((length(text) - (length(text) - length(replace(text, ' ', '')))) * 100)
+           // (length(text) - length(replace(text, ' ', '')) + 1) AS mean_token_centilen,
          n_chars = length(text) AS chars_consistent
          FROM documents ORDER BY doc_id""",
     "doc_langid" ->

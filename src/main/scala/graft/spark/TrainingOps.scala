@@ -308,16 +308,25 @@ object TrainingOps {
       .orderBy("lang")
 
   /** Per-document quality scoring: length sanity, vocabulary richness,
-    * mean token length. Integer/exact arithmetic only.
+    * punctuation count, mean token length (centichars). Integer/exact
+    * arithmetic only so the relational oracle is bit-exact.
     */
-  def qualityScores(documents: DataFrame): DataFrame =
+  def qualityScores(documents: DataFrame): DataFrame = {
+    val len = F.length(F.col("text"))
+    val nTokens = len - F.length(F.regexp_replace(F.col("text"), " ", "")) + F.lit(1)
     documents.select(
       F.col("doc_id"),
-      F.length(F.col("text")).cast("long").as("n_chars_actual"),
-      (F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), " ", "")) + F.lit(1))
-        .cast("long").as("n_tokens"),
+      len.cast("long").as("n_chars_actual"),
+      nTokens.cast("long").as("n_tokens"),
       F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long").as("n_distinct"),
-      (F.col("n_chars") === F.length(F.col("text"))).as("chars_consistent"))
+      (len - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")))
+        .cast("long").as("n_punct"),
+      // mean token length in centichars: chars-in-tokens*100 div tokens
+      F.expr("((length(text) - (length(text) - length(replace(text, ' ', '')))) * 100) " +
+        "div (length(text) - length(replace(text, ' ', '')) + 1)")
+        .cast("long").as("mean_token_centilen"),
+      (F.col("n_chars") === len).as("chars_consistent"))
+  }
 
   /** Stopword-ratio language-ID heuristic: per mille of 'the'/'a' tokens;
     * classify en-like when above threshold.
