@@ -197,6 +197,15 @@ object SparkEntry {
         .select("a", "b")
         .orderBy("a", "b")
     }),
+    "dedup_ngram" -> ((s, dir) => {
+      // w-shingling Jaccard dedup at threshold 1.0 (identical shingle sets —
+      // the oracle-exact operating point; banding recall is 1 there)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val doubled = docs.select((F.col("doc_id") * 2).as("doc_id"), F.col("text"))
+        .unionByName(
+          docs.select((F.col("doc_id") * 2 + 1).as("doc_id"), F.col("text")))
+      TrainingOps.minhashDedupPairs(doubled, threshold = 1.0).orderBy("a", "b")
+    }),
     "dedup_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val doubled = docs.select((F.col("doc_id") * 2).as("doc_id"), F.col("text"))
@@ -618,6 +627,27 @@ object SparkEntry {
          )
          SELECT l.doc_id AS a, r.doc_id AS b
          FROM all_docs l JOIN all_docs r ON l.h = r.h AND l.doc_id < r.doc_id
+         ORDER BY 1, 2""",
+    "dedup_ngram" ->
+      // identical word-3-gram shingle sets over the doubled corpus
+      """WITH all_docs AS (
+           SELECT doc_id*2 AS doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id*2+1, text FROM documents
+         ),
+         s AS (
+           SELECT doc_id,
+             CASE WHEN length(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_sort(list_distinct(list_transform(
+                         range(length(string_split(text, ' ')) - 2),
+                         i -> string_split(text, ' ')[CAST(i+1 AS INT)]||' '
+                           ||string_split(text, ' ')[CAST(i+2 AS INT)]||' '
+                           ||string_split(text, ' ')[CAST(i+3 AS INT)])))
+             END AS sh
+           FROM all_docs
+         )
+         SELECT l.doc_id AS a, r.doc_id AS b, CAST(1.0 AS DOUBLE) AS jaccard
+         FROM s l JOIN s r ON l.sh = r.sh AND l.doc_id < r.doc_id
          ORDER BY 1, 2""",
     "dedup_simhash" ->
       // full SimHash replication (word hash = first 8 md5 bytes, 64-bit

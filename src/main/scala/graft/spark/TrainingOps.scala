@@ -74,8 +74,24 @@ object TrainingOps {
       }
   }
 
-  /** Candidate pairs from LSH buckets, verified with exact token-set Jaccard
-    * ≥ `threshold`. Output: (a, b, jaccard) with a < b.
+  /** The word-3-gram shingle set of a text as a Column — SAME granularity
+    * the MinHash signatures hash, so candidate verification measures the
+    * quantity the LSH approximates (texts of <3 words degrade to the whole
+    * text, mirroring `shingles`).
+    */
+  private def shingleSet(textCol: String): org.apache.spark.sql.Column =
+    F.when(F.size(F.split(F.col(textCol), " ")) < 3, F.array(F.col(textCol)))
+      .otherwise(F.expr(
+        s"""transform(sequence(0, size(split($textCol, ' ')) - 3),
+           |  i -> concat_ws(' ', split($textCol, ' ')[i],
+           |                 split($textCol, ' ')[i+1], split($textCol, ' ')[i+2]))
+           |""".stripMargin))
+
+  /** Candidate pairs from LSH buckets, verified with exact shingle-set
+    * Jaccard ≥ `threshold` (w-shingling). Output: (a, b, jaccard), a < b.
+    * At threshold 1.0 the pairs are exactly the identical-shingle-set pairs,
+    * for which banding recall is 1 (identical signatures collide in every
+    * band) — that is the oracle-checkable operating point.
     */
   def minhashDedupPairs(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
     val spark = documents.sparkSession
@@ -88,7 +104,7 @@ object TrainingOps {
       .distinct()
     val docs = documents.select(
       F.col("doc_id").cast("long"),
-      F.array_distinct(F.split(F.col("text"), " ")).as("toks"))
+      F.array_distinct(shingleSet("text")).as("toks"))
     cand
       .join(docs.withColumnRenamed("doc_id", "a").withColumnRenamed("toks", "ta"), "a")
       .join(docs.withColumnRenamed("doc_id", "b").withColumnRenamed("toks", "tb"), "b")

@@ -105,6 +105,21 @@ class ExtrasSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), "UDF found in ANN plan")
   }
 
+  test("minhash near-dup pairs: one edited word is found, unrelated text is not") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    val words = (0 until 100).map(i => s"w$i")
+    val base = words.mkString(" ")
+    val edited = words.updated(50, "CHANGED").mkString(" ")   // 3 of 98 shingles differ
+    val unrelated = (0 until 100).map(i => s"z$i").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (0L, base), (1L, edited), (2L, unrelated))).toDF("doc_id", "text")
+    val pairs = graft.spark.TrainingOps.minhashDedupPairs(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+    assert(pairs.head._3 > 0.9 && pairs.head._3 < 1.0)
+  }
+
   test("BMP decode reads header dimensions; non-BMP falls back") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
