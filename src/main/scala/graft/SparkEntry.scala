@@ -219,6 +219,16 @@ object SparkEntry {
       TrainingOps.annBruteForce(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
     "ann_lsh" -> ((s, dir) =>
       TrainingOps.annLsh(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
+    "dedup_embedding" -> ((s, dir) => {
+      // embedding-cosine near-dup over the doubled corpus: LSH-bucketed
+      // candidates, exact cosine >= 0.95 (only the injected duplicates reach
+      // it — the max non-duplicate pairwise cosine in this corpus is ~0.51)
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val doubled = emb.select((F.col("vec_id") * 2).as("vec_id"), F.col("embedding"))
+        .unionByName(
+          emb.select((F.col("vec_id") * 2 + 1).as("vec_id"), F.col("embedding")))
+      TrainingOps.dedupEmbedding(doubled).orderBy("a", "b")
+    }),
 
     // ---------- multimodal decode ----------
     "multimodal_decode" -> ((s, dir) => {
@@ -373,12 +383,17 @@ object SparkEntry {
     * table), candidates joined on (table, signature), then exact cosine
     * top-k among candidates.
     */
-  private lazy val annLshOracleSql: String = {
+  /** The deterministic hyperplane matrix as a SQL VALUES literal — identical
+    * doubles to TrainingOps.hyperplanes, shared by the LSH oracles.
+    */
+  private lazy val hyperplaneValuesSql: String = {
     val hp = TrainingOps.hyperplanes(tables = 4, planes = 8, dim = 64)
-    val rows = for {
-      t <- hp.indices; p <- hp(t).indices
-    } yield s"($t, $p, [${hp(t)(p).mkString(", ")}]::DOUBLE[])"
-    s"""WITH hp(t, p, v) AS (VALUES ${rows.mkString(",\n")}),
+    (for { t <- hp.indices; p <- hp(t).indices }
+      yield s"($t, $p, [${hp(t)(p).mkString(", ")}]::DOUBLE[])").mkString(",\n")
+  }
+
+  private lazy val annLshOracleSql: String = {
+    s"""WITH hp(t, p, v) AS (VALUES $hyperplaneValuesSql),
        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        sig AS (
          SELECT e.vec_id, hp.t,
@@ -915,6 +930,32 @@ object SparkEntry {
          )
          SELECT query_id, CAST(rank AS INT) AS rank, vec_id
          FROM ranked WHERE rank <= 10 ORDER BY 1, 2""",
-    "ann_lsh" -> annLshOracleSql
+    "ann_lsh" -> annLshOracleSql,
+    "dedup_embedding" ->
+      s"""WITH hp(t, p, v) AS (VALUES $hyperplaneValuesSql),
+         e AS (
+           SELECT vec_id*2 AS vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           UNION ALL
+           SELECT vec_id*2+1, CAST(embedding AS DOUBLE[]) FROM embeddings
+         ),
+         sig AS (
+           SELECT e.vec_id, hp.t,
+                  sum(CASE WHEN list_dot_product(e.emb, hp.v) > 0
+                           THEN 1 << hp.p ELSE 0 END) AS s
+           FROM e, hp GROUP BY 1, 2
+         ),
+         cand AS (
+           SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+           FROM sig l JOIN sig r ON l.t = r.t AND l.s = r.s AND l.vec_id < r.vec_id
+         )
+         SELECT a, b,
+                list_dot_product(ea.emb, eb.emb) /
+                  sqrt(list_dot_product(ea.emb, ea.emb) * list_dot_product(eb.emb, eb.emb)) AS cosine
+         FROM cand
+         JOIN e ea ON ea.vec_id = cand.a
+         JOIN e eb ON eb.vec_id = cand.b
+         WHERE list_dot_product(ea.emb, eb.emb) /
+                 sqrt(list_dot_product(ea.emb, ea.emb) * list_dot_product(eb.emb, eb.emb)) >= 0.95
+         ORDER BY 1, 2"""
   )
 }

@@ -304,6 +304,53 @@ object TrainingOps {
       .select("query_id", "rank", "vec_id")
   }
 
+  /** Embedding-cosine near-dup: candidate pairs share a hyperplane-LSH
+    * bucket in any table (the same signatures annLsh uses), then exact
+    * cosine ≥ threshold on candidates only — never the N² cross product.
+    * Identical vectors always share every bucket, so recall for exact
+    * duplicates is 1.
+    */
+  def dedupEmbedding(
+      embeddings: DataFrame,
+      threshold: Double = 0.95,
+      planes: Int = 8,
+      tables: Int = 4
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = 64
+    val hp = hyperplanes(tables, planes, dim)
+    val ds = embeddings.select(F.col("vec_id").cast("long"), F.col("embedding"))
+      .as[(Long, Array[Float])]
+    val bucketed = ds.flatMap { case (id, v) =>
+      (0 until tables).iterator.map { t =>
+        var sig = 0
+        var p = 0
+        while (p < planes) {
+          var dot = 0.0
+          var d = 0
+          while (d < dim) { dot += v(d).toDouble * hp(t)(p)(d); d += 1 }
+          if (dot > 0) sig |= (1 << p)
+          p += 1
+        }
+        (id, t, sig)
+      }
+    }.toDF("vec_id", "table", "sig")
+    val cand = bucketed.as("l").join(bucketed.as("r"),
+        F.col("l.table") === F.col("r.table") && F.col("l.sig") === F.col("r.sig") &&
+        F.col("l.vec_id") < F.col("r.vec_id"))
+      .select(F.col("l.vec_id").as("a"), F.col("r.vec_id").as("b"))
+      .distinct()
+    val vecs = embeddings.select(F.col("vec_id").cast("long"), F.col("embedding"))
+    graft.functions.CosineSimilarity.register(spark)
+    cand
+      .join(vecs.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "ea"), "a")
+      .join(vecs.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "eb"), "b")
+      .withColumn("cosine", F.expr("cosine_sim(ea, eb)"))
+      .where(F.col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+
   // ---------- text analysis ----------
 
   /** Whitespace token counting + vocabulary stats per language. Pure integer
