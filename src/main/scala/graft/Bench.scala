@@ -44,7 +44,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // reduce tasks ≫ cores + a small AQE advisory so the last wave's
+      // stragglers don't dominate (see ScalingBench profile notes)
+      .config("spark.sql.shuffle.partitions", cpus.toInt * 8)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
