@@ -5,10 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import graft.spark.{KgEngine, SynthPages, TrainingOps}
 
 /** Driver contract — one `queries` entry per implemented operator
-  * (SURVEY.md §2 + the training-data ops), with DuckDB oracle SQL where the
-  * semantics are ANSI-expressible. Column names are aligned between the
-  * Spark plan and the oracle; aggregates use DECIMAL so sums are
-  * order-independent and hash-stable.
+  * (SURVEY.md §2 + the training-data ops). EVERY query has DuckDB oracle
+  * SQL. Column names are aligned between the Spark plan and the oracle;
+  * sums of 2-decimal DOUBLE columns are emitted as BIGINT centi-units
+  * (order-independent AND hash-encoding-stable in the driver compare).
   */
 object SparkEntry {
 
