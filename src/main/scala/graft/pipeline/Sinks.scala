@@ -29,14 +29,39 @@ object Sinks {
     false
   }
 
+  /** Double-quoted YAML scalar with escapes — the lossless form for strings
+    * a block scalar cannot round-trip (trailing whitespace on any line, or a
+    * first content line that begins with a space, which indentation
+    * auto-detection would swallow).
+    */
+  private def doubleQuoted(s: String): String =
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case c    => c.toString
+    } + "\""
+
+  private def blockSafe(s: String): Boolean = {
+    val lines = s.split("\n", -1)
+    val noTrailingWs = lines.forall(l =>
+      l.isEmpty || (l.last != ' ' && l.last != '\t'))
+    val firstContentOk = lines.find(_.nonEmpty).forall(_.head != ' ')
+    noTrailingWs && firstContentOk
+  }
+
   private def scalar(s: String, indent: String): String = {
     if (s.contains('\n')) {
-      // block literal; strip/keep indicator by trailing newline
-      val (body, indicator) =
-        if (s.endsWith("\n")) (s.dropRight(1), "|") else (s, "|-")
-      val ind = indent + "  "
-      indicator + "\n" + body.split("\n", -1).map(l =>
-        if (l.isEmpty) "" else ind + l).mkString("\n")
+      if (!blockSafe(s)) doubleQuoted(s)
+      else {
+        // block literal; strip/keep indicator by trailing newline
+        val (body, indicator) =
+          if (s.endsWith("\n")) (s.dropRight(1), "|") else (s, "|-")
+        val ind = indent + "  "
+        indicator + "\n" + body.split("\n", -1).map(l =>
+          if (l.isEmpty) "" else ind + l).mkString("\n")
+      }
     } else if (needsQuoting(s)) {
       "'" + s.replace("'", "''") + "'"
     } else s
