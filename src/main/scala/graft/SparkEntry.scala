@@ -249,11 +249,24 @@ object SparkEntry {
         .select("subj", "pred", "obj")
         .orderBy("subj", "pred")
     }),
+    "kg_canonical_pre" -> ((s, dir) => {
+      // the datum-shipping engine variant (extract before the shuffle) must
+      // produce the identical canonical table — same oracle as kg_canonical
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      KgEngine.extractCanonicalPreExtract(s, pages).toDF()
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred")
+    }),
     "kg_edges" -> ((s, dir) => {
       val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
       KgEngine.edges(KgEngine.extractCanonical(s, pages))
         .select("src", "pred", "dst")
         .orderBy("src", "pred")
+    }),
+    "kg_nodes" -> ((s, dir) => {
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      KgEngine.nodes(KgEngine.extractCanonical(s, pages))
+        .orderBy("id")
     }),
     "kg_raw_triples" -> ((s, dir) => {
       val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
@@ -724,12 +737,28 @@ object SparkEntry {
     "kg_canonical" ->
       s"""WITH $canonicalCte
          SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
+    "kg_canonical_pre" ->
+      s"""WITH $canonicalCte
+         SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
     "kg_edges" ->
       s"""WITH $canonicalCte
          SELECT subj AS src, pred, obj AS dst FROM expected
          WHERE pred IN ('Bug-Database', 'Bug-Submit', 'Documentation',
                         'Homepage', 'Repository', 'Repository-Browse')
          ORDER BY src, pred""",
+    "kg_nodes" ->
+      s"""WITH $canonicalCte,
+         e AS (
+           SELECT subj AS src, obj AS dst FROM expected
+           WHERE pred IN ('Bug-Database', 'Bug-Submit', 'Documentation',
+                          'Homepage', 'Repository', 'Repository-Browse')
+         ),
+         n AS (
+           SELECT DISTINCT src AS id, 'subject' AS kind FROM e
+           UNION ALL
+           SELECT DISTINCT dst AS id, 'url' AS kind FROM e
+         )
+         SELECT id, min(kind) AS kind FROM n GROUP BY id ORDER BY id""",
     "kg_raw_triples" ->
       s"""WITH $rawCte
          SELECT subj, pred, obj, certainty FROM raw
