@@ -11,15 +11,29 @@ import scala.jdk.CollectionConverters._
   */
 object GuessMain {
 
-  def collectFiles(dir: Path): Map[String, String] =
-    Files.walk(dir).iterator().asScala
+  /** Largest file worth reading: no extraction artifact is bigger, and a
+    * real checkout can contain arbitrarily large blobs.
+    */
+  private val MaxFileBytes = 5L * 1024 * 1024
+
+  def collectFiles(dir: Path): Map[String, String] = {
+    val stream = Files.walk(dir)
+    try stream.iterator().asScala
       .filter(Files.isRegularFile(_))
       .flatMap { p =>
         val rel = dir.relativize(p).toString
-        try Some(rel -> new String(Files.readAllBytes(p), "UTF-8"))
-        catch { case _: Exception => None } // unreadable/binary: skip
+        // skip VCS internals (except .git/config, a real artifact) and
+        // oversized blobs; invalid UTF-8 decodes lossily, which the
+        // extractors tolerate (non-text files match no artifact name)
+        val vcsInternal =
+          (rel.startsWith(".git/") && rel != ".git/config") ||
+          rel.startsWith(".hg/") || rel.startsWith(".svn/")
+        if (vcsInternal || Files.size(p) > MaxFileBytes) None
+        else Some(rel -> new String(Files.readAllBytes(p), "UTF-8"))
       }
       .toMap
+    finally stream.close()
+  }
 
   def run(dir: Path): String = {
     val files = collectFiles(dir)

@@ -76,6 +76,10 @@ object CosineSimilarity {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
-      { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) },
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2,
+          s"cosine_sim expects exactly 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs(0), exprs(1))
+      },
       "built-in")
 }

@@ -30,20 +30,24 @@ object Sinks {
   }
 
   /** Double-quoted YAML scalar with escapes — the lossless form for strings
-    * a block scalar cannot round-trip (trailing whitespace on any line, or a
-    * first content line that begins with a space, which indentation
-    * auto-detection would swallow).
+    * a block scalar cannot round-trip (trailing whitespace on any line, a
+    * first content line that begins with a space — which indentation
+    * auto-detection would swallow — or any control character: a parser
+    * normalizes raw \r\n line breaks, and raw controls are invalid in YAML).
     */
   private def doubleQuoted(s: String): String =
     "\"" + s.flatMap {
-      case '\\' => "\\\\"
-      case '"'  => "\\\""
-      case '\n' => "\\n"
-      case '\t' => "\\t"
-      case c    => c.toString
+      case '\\'             => "\\\\"
+      case '"'              => "\\\""
+      case '\n'             => "\\n"
+      case '\r'             => "\\r"
+      case '\t'             => "\\t"
+      case c if c < ' '     => f"\\x${c.toInt}%02x"
+      case c                => c.toString
     } + "\""
 
   private def blockSafe(s: String): Boolean = {
+    if (s.exists(c => c < ' ' && c != '\n')) return false
     val lines = s.split("\n", -1)
     val noTrailingWs = lines.forall(l =>
       l.isEmpty || (l.last != ' ' && l.last != '\t'))
@@ -62,6 +66,8 @@ object Sinks {
         indicator + "\n" + body.split("\n", -1).map(l =>
           if (l.isEmpty) "" else ind + l).mkString("\n")
       }
+    } else if (s.exists(_ < ' ')) {
+      doubleQuoted(s) // raw control chars are lossy in plain/single-quoted
     } else if (needsQuoting(s)) {
       "'" + s.replace("'", "''") + "'"
     } else s

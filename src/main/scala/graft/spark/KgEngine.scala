@@ -228,29 +228,33 @@ object KgEngine {
   }
 
   /** Graph materialization: URL-typed objects become edges; subjects and URL
-    * objects become nodes (SURVEY §1.3).
+    * objects become nodes (SURVEY §1.3). The DataFrame forms take `carry`
+    * columns (e.g. the job's bucket) so production jobs share ONE definition
+    * of what an edge/node is — the predicate must never fork between the
+    * driver-verified queries and KgJob's tables.
     */
-  def edges(canon: Dataset[CanonTriple]): DataFrame = {
-    import canon.sparkSession.implicits._
-    canon.toDF()
+  def edgesDf(triples: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    triples
       .where(F.col("pred").isin(Fields.urlTyped.toSeq.map(x => x: Any): _*) &&
              F.col("obj").startsWith("http"))
-      .select(
-        F.col("subj").as("src"),
-        F.col("pred"),
-        F.col("obj").as("dst"),
-        F.col("certainty"))
+      .select(Seq(
+        F.col("subj").as("src"), F.col("pred"),
+        F.col("obj").as("dst"), F.col("certainty")) ++ carry.map(F.col): _*)
+
+  def edges(canon: Dataset[CanonTriple]): DataFrame = edgesDf(canon.toDF())
+
+  def nodesDf(e: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val subjects = e.select(
+      Seq(F.col("src").as("id"), F.lit("subject").as("kind")) ++ carry.map(F.col): _*)
+    val objects = e.select(
+      Seq(F.col("dst").as("id"), F.lit("url").as("kind")) ++ carry.map(F.col): _*)
+    subjects.unionByName(objects)
+      .groupBy((carry :+ "id").map(F.col): _*)
+      .agg(F.min("kind").as("kind"))
+      .select(Seq(F.col("id"), F.col("kind")) ++ carry.map(F.col): _*)
   }
 
-  def nodes(canon: Dataset[CanonTriple]): DataFrame = {
-    val e = edges(canon)
-    val subjects = e.select(F.col("src").as("id")).distinct()
-      .withColumn("kind", F.lit("subject"))
-    val objects = e.select(F.col("dst").as("id")).distinct()
-      .withColumn("kind", F.lit("url"))
-    subjects.unionByName(objects)
-      .groupBy("id").agg(F.min("kind").as("kind"))
-  }
+  def nodes(canon: Dataset[CanonTriple]): DataFrame = nodesDf(edges(canon))
 
   /** Per-partition lineage row: (partition_id, input_rows, emitted). */
   final case class LineageRow(partition_id: Int, input_rows: Long, emitted: Long)

@@ -34,26 +34,34 @@ object KgJob {
     *
     * ONE pass over the input regardless of bucket count: completed buckets
     * are filtered out up front, the bucket column is derived from each
-    * triple's subject after extraction, and all four tables land via
+    * triple's subject after extraction, and all five tables land via
     * `partitionBy("bucket")` with dynamic partition overwrite (only the
     * re-run buckets' directories are replaced — committed buckets are never
-    * touched, so a resume never re-emits). Lineage is written under the same
-    * per-bucket protocol, so a resumed run cannot duplicate lineage rows.
+    * touched, so a resume never re-emits). Lineage and metrics follow the
+    * same per-bucket protocol, so a resumed run cannot duplicate their rows.
+    *
+    * Durability granularity is the INVOCATION: commit markers land after the
+    * invocation's writes finish, so a mid-run crash redoes this invocation's
+    * buckets (task-level atomicity comes from the file committer; dynamic
+    * overwrite makes the redo idempotent). To bound that loss window on very
+    * long runs, cap `maxBucketsPerRun` and loop — each invocation still
+    * scans the input once, over only the still-uncommitted subjects.
     */
   def run(
       spark: SparkSession,
       pages: DataFrame,
       outDir: String,
-      buckets: Int = DefaultBuckets
+      buckets: Int = DefaultBuckets,
+      maxBucketsPerRun: Int = Int.MaxValue
   ): Int = {
     Files.createDirectories(manifestDir(outDir))
     val done = committedBuckets(outDir).toSet
-    val todo = (0 until buckets).filterNot(done)
+    val todo = (0 until buckets).filterNot(done).take(maxBucketsPerRun)
     if (todo.isEmpty) return 0
 
     val remaining =
-      if (done.isEmpty) pages
-      else KgEngine.resumeFilter(pages, done.toSeq, buckets)
+      if (todo.size == buckets) pages
+      else KgEngine.resumeFilter(pages, ((0 until buckets).toSet -- todo).toSeq, buckets)
 
     def write(df: DataFrame, table: String): Unit =
       df.write.mode(SaveMode.Overwrite)
@@ -67,18 +75,11 @@ object KgJob {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       write(canon, "triples")
-      // edges/nodes derive from the cached triples, not a fresh input scan
-      val e = canon
-        .where(F.col("pred").isin(graft.core.Fields.urlTyped.toSeq.map(x => x: Any): _*) &&
-               F.col("obj").startsWith("http"))
-        .select(F.col("subj").as("src"), F.col("pred"), F.col("obj").as("dst"),
-          F.col("certainty"), F.col("bucket"))
+      // edges/nodes derive from the cached triples, not a fresh input scan —
+      // through the ONE engine definition of edge/node (KgEngine)
+      val e = KgEngine.edgesDf(canon, carry = Seq("bucket"))
       write(e, "edges")
-      val n = e.select(F.col("src").as("id"), F.lit("subject").as("kind"), F.col("bucket"))
-        .unionByName(e.select(F.col("dst").as("id"), F.lit("url").as("kind"), F.col("bucket")))
-        .groupBy("bucket", "id").agg(F.min("kind").as("kind"))
-        .select("id", "kind", "bucket")
-      write(n, "nodes")
+      write(KgEngine.nodesDf(e, carry = Seq("bucket")), "nodes")
 
       // per-bucket lineage (url column only — a pruned scan): input pages
       // and candidate pages per bucket for exactly the buckets being re-run

@@ -30,8 +30,15 @@ object TrainingOps {
     x ^ (x >>> 31)
   }
 
+  /** Space-split keeping trailing empty tokens — the semantics of SQL
+    * `split`/DuckDB `string_split`, so Scala-side token streams and the
+    * relational oracles measure identical token sequences even for texts
+    * with trailing/double spaces.
+    */
+  private def tokens(text: String): Array[String] = text.split(" ", -1)
+
   private def shingles(text: String, n: Int): Iterator[Long] = {
-    val words = text.split(' ')
+    val words = tokens(text)
     if (words.length < n) Iterator.single(mix64(text.hashCode.toLong))
     else words.sliding(n).map(w => mix64(w.mkString(" ").hashCode.toLong))
   }
@@ -74,18 +81,18 @@ object TrainingOps {
       }
   }
 
-  /** The word-3-gram shingle set of a text as a Column — SAME granularity
-    * the MinHash signatures hash, so candidate verification measures the
-    * quantity the LSH approximates (texts of <3 words degrade to the whole
-    * text, mirroring `shingles`).
+  /** The word-3-gram shingle set from a pre-split token-array column — SAME
+    * granularity the MinHash signatures hash, so candidate verification
+    * measures the quantity the LSH approximates (texts of <3 words degrade
+    * to the whole text, mirroring `shingles`). Takes the split as a bound
+    * column: re-splitting inside the transform lambda would make each row
+    * O(words²).
     */
-  private def shingleSet(textCol: String): org.apache.spark.sql.Column =
-    F.when(F.size(F.split(F.col(textCol), " ")) < 3, F.array(F.col(textCol)))
+  private def shingleSet(textCol: String, wsCol: String): org.apache.spark.sql.Column =
+    F.when(F.size(F.col(wsCol)) < 3, F.array(F.col(textCol)))
       .otherwise(F.expr(
-        s"""transform(sequence(0, size(split($textCol, ' ')) - 3),
-           |  i -> concat_ws(' ', split($textCol, ' ')[i],
-           |                 split($textCol, ' ')[i+1], split($textCol, ' ')[i+2]))
-           |""".stripMargin))
+        s"transform(sequence(0, size($wsCol) - 3), " +
+        s"i -> concat_ws(' ', $wsCol[i], $wsCol[i+1], $wsCol[i+2]))"))
 
   /** Candidate pairs from LSH buckets, verified with exact shingle-set
     * Jaccard ≥ `threshold` (w-shingling). Output: (a, b, jaccard), a < b.
@@ -102,9 +109,11 @@ object TrainingOps {
         F.col("l.doc_id") < F.col("r.doc_id"))
       .select(F.col("l.doc_id").as("a"), F.col("r.doc_id").as("b"))
       .distinct()
-    val docs = documents.select(
-      F.col("doc_id").cast("long"),
-      F.array_distinct(shingleSet("text")).as("toks"))
+    val docs = documents
+      .select(F.col("doc_id").cast("long"), F.col("text"),
+        F.split(F.col("text"), " ").as("ws"))
+      .select(F.col("doc_id"),
+        F.array_distinct(shingleSet("text", "ws")).as("toks"))
     cand
       .join(docs.withColumnRenamed("doc_id", "a").withColumnRenamed("toks", "ta"), "a")
       .join(docs.withColumnRenamed("doc_id", "b").withColumnRenamed("toks", "tb"), "b")
@@ -140,7 +149,7 @@ object TrainingOps {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
           val acc = new Array[Int](64)
-          text.split(' ').foreach { w =>
+          tokens(text).foreach { w =>
             val h = md5Word64(md, w)
             var i = 0
             while (i < 64) {
@@ -183,12 +192,15 @@ object TrainingOps {
 
   /** Cosine in double precision element-by-element (floats widened before
     * multiply) so any engine computing on DOUBLE lists sequentially gets the
-    * bit-identical result — required for the relational oracle.
+    * bit-identical result — required for the relational oracle. Mismatched
+    * lengths compare the common prefix (the same contract as the Catalyst
+    * `cosine_sim` expression — the two implementations must never diverge).
     */
   private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    while (i < a.length) {
+    while (i < n) {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
@@ -443,9 +455,16 @@ object TrainingOps {
           batch.iterator.map { case (id, bytes0) =>
             val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
             val n = bytes.length
-            val isBmp = n >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte
+            // decodable = BM magic + a BITMAPINFOHEADER (40) with sane dims;
+            // a negative biHeight marks a top-down bitmap (report |height|)
+            val isBmp = n >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte &&
+              le32(bytes, 14) == 40
+            val (w0, h0) =
+              if (isBmp) (le32(bytes, 18), math.abs(le32(bytes, 22)))
+              else (0, 0)
             val (w, h) =
-              if (isBmp) (le32(bytes, 18), le32(bytes, 22))
+              if (isBmp && w0 > 0 && w0 <= (1 << 20) && h0 > 0 && h0 <= (1 << 20))
+                (w0, h0)
               else (1 + (n % 640), 1 + (n % 480)) // codec-free fallback shape
             md.reset()
             val hex = bytes.map("%02x".format(_)).mkString

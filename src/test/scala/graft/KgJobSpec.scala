@@ -56,6 +56,19 @@ class KgJobSpec extends AnyFunSuite {
     assert(metrics == expectedTriples)
   }
 
+  test("maxBucketsPerRun bounds the loss window; looping completes the job") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where("doc_id < 64")
+    val pages = SynthPages.fromDocuments(docs)
+    val out = freshDir("kgjob_capped")
+    val counts = Iterator.continually(
+      KgJob.run(spark, pages, out, buckets = 8, maxBucketsPerRun = 3))
+      .takeWhile(_ > 0).toList
+    assert(counts == List(3, 3, 2))
+    assert(KgJob.committedBuckets(out).size == 8)
+    val triples = spark.read.parquet(s"$out/triples").count()
+    assert(triples == 8 * (11 + 11 + 11 + 10 + 10 + 9 + 6 + 10))
+  }
+
   test("streaming variant produces the same triples as batch") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where("doc_id < 48")
     val pages = SynthPages.fromDocuments(docs)
