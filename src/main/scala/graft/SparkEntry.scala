@@ -249,6 +249,20 @@ object SparkEntry {
         .select("subj", "pred", "obj")
         .orderBy("subj", "pred")
     }),
+    "kg_canonical_dup" -> ((s, dir) => {
+      // duplicate-capture determinism: the batch holds three captures per
+      // page — the live one, a week-older stale recrawl with corrupted
+      // content, and an exact same-timestamp duplicate. The newest capture
+      // must win per (subj, relpath), and the same-ts duplicate must be a
+      // no-op, so the canonical table equals the single-capture one exactly.
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val stale = pages
+        .withColumn("warc_ts", F.col("warc_ts") - F.expr("INTERVAL 7 DAYS"))
+        .withColumn("text", F.concat(F.col("text"), F.lit("\nSTALE RECRAWL GARBAGE")))
+      KgEngine.extractCanonical(s, pages.unionByName(stale).unionByName(pages)).toDF()
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred")
+    }),
     "kg_canonical_pre" -> ((s, dir) => {
       // the datum-shipping engine variant (extract before the shuffle) must
       // produce the identical canonical table — same oracle as kg_canonical
@@ -296,33 +310,17 @@ object SparkEntry {
         .orderBy("subj", "term")
     }),
     "kg_yaml_sink" -> ((s, dir) => {
-      // per-subject YAML rendering (the reference CLI's output surface)
+      // per-subject YAML rendering (the reference CLI's output surface),
+      // rendered INSIDE the extraction group — one exchange, no second
+      // groupBy over the triples
       val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
-      val canon = KgEngine.extractCanonical(s, pages)
-      import s.implicits._
-      canon.groupByKey(_.subj)
-        .mapGroups { (subj, it) =>
-          val md = it.toList.sortBy(_.pred).map { t =>
-            graft.core.Datum(t.pred, graft.spark.Model.valueFromForms(t.obj, t.obj_json),
-              if (t.certainty < 0) None else Some(t.certainty), Some(t.origin))
-          }
-          (subj, graft.pipeline.Sinks.toYaml(md))
-        }
+      KgEngine.extractAndRender(s, pages, graft.pipeline.Sinks.toYaml)
         .toDF("subj", "yaml")
         .orderBy("subj")
     }),
     "kg_codemeta_sink" -> ((s, dir) => {
       val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
-      val canon = KgEngine.extractCanonical(s, pages)
-      import s.implicits._
-      canon.groupByKey(_.subj)
-        .mapGroups { (subj, it) =>
-          val md = it.toList.sortBy(_.pred).map { t =>
-            graft.core.Datum(t.pred, graft.spark.Model.valueFromForms(t.obj, t.obj_json),
-              if (t.certainty < 0) None else Some(t.certainty), Some(t.origin))
-          }
-          (subj, graft.pipeline.Sinks.toCodemeta(md))
-        }
+      KgEngine.extractAndRender(s, pages, graft.pipeline.Sinks.toCodemeta)
         .toDF("subj", "codemeta")
         .orderBy("subj")
     }),
@@ -361,16 +359,7 @@ object SparkEntry {
     }),
     "kg_doap_sink" -> ((s, dir) => {
       val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
-      val canon = KgEngine.extractCanonical(s, pages)
-      import s.implicits._
-      canon.groupByKey(_.subj)
-        .mapGroups { (subj, it) =>
-          val md = it.toList.sortBy(_.pred).map { t =>
-            graft.core.Datum(t.pred, graft.spark.Model.valueFromForms(t.obj, t.obj_json),
-              if (t.certainty < 0) None else Some(t.certainty), Some(t.origin))
-          }
-          (subj, graft.pipeline.Sinks.toDoap(md))
-        }
+      KgEngine.extractAndRender(s, pages, graft.pipeline.Sinks.toDoap)
         .toDF("subj", "doap")
         .orderBy("subj")
     }),
@@ -740,6 +729,10 @@ object SparkEntry {
     "kg_canonical_pre" ->
       s"""WITH $canonicalCte
          SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
+    "kg_canonical_dup" ->
+      // newest capture wins; stale recrawls and same-ts duplicates are inert
+      s"""WITH $canonicalCte
+         SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
     "kg_edges" ->
       s"""WITH $canonicalCte
          SELECT subj AS src, pred, obj AS dst FROM expected
@@ -789,7 +782,7 @@ object SparkEntry {
                WHEN pred = 'Description' AND flavor != 4
                  THEN 'Description: |'||chr(10)||'  '||rtrim(obj, chr(10))||chr(10)
                WHEN pred = 'Debian-ITP'
-                 THEN 'Debian-ITP: '''||obj||''''||chr(10)
+                 THEN 'Debian-ITP: '||obj||chr(10)
                ELSE pred||': '||obj||chr(10)
              END AS line
            FROM expected

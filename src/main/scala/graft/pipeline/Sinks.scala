@@ -48,6 +48,10 @@ object Sinks {
 
   private def blockSafe(s: String): Boolean = {
     if (s.exists(c => c < ' ' && c != '\n')) return false
+    // two or more trailing newlines can't round-trip through a clip-chomped
+    // block literal ("a\n\n" parses back as "a\n"); keep-chomping would need
+    // |+ — simpler and equally lossless to double-quote
+    if (s.endsWith("\n\n")) return false
     val lines = s.split("\n", -1)
     val noTrailingWs = lines.forall(l =>
       l.isEmpty || (l.last != ' ' && l.last != '\t'))

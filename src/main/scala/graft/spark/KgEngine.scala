@@ -94,26 +94,86 @@ object KgEngine {
     t.substring(t.lastIndexOf('/') + 1)
   }
 
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** Narrow pre-shuffle stage shared by the grouped paths: candidate pages
+    * as (subj, relpath, warc_ts_millis, text). Only candidates survive, so
+    * `html` and the non-candidate bulk never reach the exchange.
+    */
+  private def candidateRows(spark: SparkSession, pages: DataFrame)
+      : Dataset[(String, String, Long, String)] = {
+    import spark.implicits._
+    pages
+      .select(F.col("url"), F.unix_millis(F.col("warc_ts")), F.col("text"))
+      .as[(String, Long, String)]
+      .flatMap { case (url, ts, text) =>
+        if (text == null) None
+        else splitSubject(url).filter(sr => isCandidate(sr._2))
+          .map { case (s, r) => (s, r, ts, text) }
+      }
+  }
+
+  /** Deterministic duplicate-capture pick: a real crawl recrawls pages, so
+    * one batch can hold several captures of the same (subj, relpath). The
+    * winner per relpath is the capture with max (warc_ts, md5(content)) — the
+    * newest capture, content-hash tie-broken — independent of shuffle
+    * iteration order. The reference never faces this (it reads a checkout),
+    * so the rule is this engine's own, applied identically in every variant.
+    * The hash is only computed on an actual timestamp collision.
+    */
+  private def dedupCaptures(it: Iterator[(String, String, Long, String)])
+      : Map[String, String] = {
+    val best = scala.collection.mutable.HashMap.empty[String, (Long, String)]
+    it.foreach { case (_, relpath, ts, text) =>
+      best.get(relpath) match {
+        case None => best(relpath) = (ts, text)
+        case Some((ts0, text0)) =>
+          if (ts > ts0) best(relpath) = (ts, text)
+          else if (ts == ts0 && text != text0 && md5Hex(text) > md5Hex(text0))
+            best(relpath) = (ts, text)
+      }
+    }
+    best.iterator.map { case (r, (_, t)) => r -> t }.toMap
+  }
+
   /** pages → canonical triples: the flagship KG construction job. */
   def extractCanonical(spark: SparkSession, pages: DataFrame): Dataset[CanonTriple] = {
     import spark.implicits._
-    pages
-      .select(F.col("url"), F.col("text"))
-      .as[(String, String)]
-      .flatMap { case (url, text) =>
-        if (text == null) None
-        else splitSubject(url).filter(sr => isCandidate(sr._2))
-          .map { case (s, r) => (s, r, text) }
-      }
+    candidateRows(spark, pages)
       .groupByKey(_._1)
       .flatMapGroups { (subj, it) =>
-        val files = it.map(t => t._2 -> t._3).toMap
+        val files = dedupCaptures(it)
         val (metadata, _) = Summarize.summarize(files, subjBasename(subj))
         metadata.iterator.map { dt =>
           val (obj, objJson) = objForms(dt.value)
           CanonTriple(subj, dt.field, obj, objJson,
             dt.certainty.getOrElse(-1), dt.origin.getOrElse(""))
         }
+      }
+  }
+
+  /** pages → per-subject rendered sink (YAML / codemeta / DOAP) in ONE
+    * exchange: the renderer runs inside the extraction group on the true
+    * typed datums, so sink jobs never re-shuffle the triples by subject a
+    * second time (at crawl scale the render pass would otherwise double the
+    * heavy shuffle).
+    */
+  def extractAndRender(
+      spark: SparkSession,
+      pages: DataFrame,
+      render: List[graft.core.Datum] => String
+  ): Dataset[(String, String)] = {
+    import spark.implicits._
+    candidateRows(spark, pages)
+      .groupByKey(_._1)
+      .mapGroups { (subj, it) =>
+        val files = dedupCaptures(it)
+        val (metadata, _) = Summarize.summarize(files, subjBasename(subj))
+        (subj, render(metadata))
       }
   }
 
@@ -135,20 +195,24 @@ object KgEngine {
   def extractCanonicalPreExtract(spark: SparkSession, pages: DataFrame): Dataset[CanonTriple] = {
     import spark.implicits._
     pages
-      .select(F.col("url"), F.col("text"))
-      .as[(String, String)]
-      .flatMap { case (url, text) =>
+      .select(F.col("url"), F.unix_millis(F.col("warc_ts")), F.col("text"))
+      .as[(String, Long, String)]
+      .flatMap { case (url, ts, text) =>
         if (text == null) Iterator.empty
         else splitSubject(url) match {
           case Some((subj, relpath)) if isCandidate(relpath) =>
+            // the duplicate-capture winner must match the grouped variant's
+            // (max warc_ts, md5 tie-break), so the content hash is computed
+            // here — post-shuffle only the extracted datums remain
+            val chash = md5Hex(text)
             if (relpath.startsWith("debian/"))
-              Iterator.single(ExtractRow(subj, relpath, "x", text))
+              Iterator.single(ExtractRow(subj, relpath, "x", text, ts, chash))
             else {
               val gs = graft.pipeline.Summarize.fileGuessers(relpath)
-              if (gs.isEmpty) Iterator.single(ExtractRow(subj, relpath, "m", ""))
+              if (gs.isEmpty) Iterator.single(ExtractRow(subj, relpath, "m", "", ts, chash))
               else gs.iterator.map { case (id, fn) =>
                 val datums = fn(text).getOrElse(Nil)
-                ExtractRow(subj, relpath, s"d:$id", datumsToJson(datums))
+                ExtractRow(subj, relpath, s"d:$id", datumsToJson(datums), ts, chash)
               }
             }
           case _ => Iterator.empty
@@ -156,17 +220,32 @@ object KgEngine {
       }
       .groupByKey(_.subj)
       .flatMapGroups { (subj, it) =>
+        // pick the winning capture per relpath (max ts, then max content
+        // hash), then assemble from that capture's rows only
+        val rows = it.toArray
+        val winner = scala.collection.mutable.HashMap.empty[String, (Long, String)]
+        rows.foreach { row =>
+          val k = (row.ts, row.chash)
+          winner.get(row.relpath) match {
+            case None => winner(row.relpath) = k
+            case Some(k0) =>
+              if (row.ts > k0._1 || (row.ts == k0._1 && row.chash > k0._2))
+                winner(row.relpath) = k
+          }
+        }
         val deferred = Map.newBuilder[String, String]
         val pre = Map.newBuilder[(String, String), List[graft.core.Datum]]
         val relpaths = Set.newBuilder[String]
-        it.foreach { row =>
-          relpaths += row.relpath
-          row.kind match {
-            case "x" => deferred += (row.relpath -> row.payload)
-            case "m" => ()
-            case d if d.startsWith("d:") =>
-              pre += ((row.relpath, d.stripPrefix("d:")) -> datumsFromJson(row.payload))
-            case _ => ()
+        rows.foreach { row =>
+          if (winner(row.relpath) == ((row.ts, row.chash))) {
+            relpaths += row.relpath
+            row.kind match {
+              case "x" => deferred += (row.relpath -> row.payload)
+              case "m" => ()
+              case d if d.startsWith("d:") =>
+                pre += ((row.relpath, d.stripPrefix("d:")) -> datumsFromJson(row.payload))
+              case _ => ()
+            }
           }
         }
         val metadata = graft.pipeline.Summarize.assemble(
@@ -185,17 +264,10 @@ object KgEngine {
     */
   def extractRaw(spark: SparkSession, pages: DataFrame): Dataset[RawTriple] = {
     import spark.implicits._
-    pages
-      .select(F.col("url"), F.col("text"))
-      .as[(String, String)]
-      .flatMap { case (url, text) =>
-        if (text == null) None
-        else splitSubject(url).filter(sr => isCandidate(sr._2))
-          .map { case (s, r) => (s, r, text) }
-      }
+    candidateRows(spark, pages)
       .groupByKey(_._1)
       .flatMapGroups { (subj, it) =>
-        val files = it.map(t => t._2 -> t._3).toMap
+        val files = dedupCaptures(it)
         val raw = Summarize.extractRaw(files, subjBasename(subj))
         raw.iterator.zipWithIndex.map { case (dt, i) =>
           val (obj, objJson) = objForms(dt.value)

@@ -39,7 +39,9 @@ object Model {
       subj: String,
       relpath: String,
       kind: String,
-      payload: String
+      payload: String,
+      ts: Long,       // warc_ts millis: duplicate-capture pick (newest wins)
+      chash: String   // md5 of the capture's content: the ts tie-break
   )
 
   // ---------- Datum <-> JSON ----------
@@ -120,7 +122,8 @@ object Model {
     if (objJson == null || objJson.isEmpty) UStr(obj)
     else {
       val node = mapper.readTree(objJson)
-      if (node.isArray) {
+      if (node.isIntegralNumber) UInt(node.asInt)
+      else if (node.isArray) {
         if (node.isEmpty) UStrings(Nil)
         else if (node.get(0).isTextual) {
           val b = List.newBuilder[String]; node.forEach(x => b += x.asText)
@@ -136,7 +139,11 @@ object Model {
   /** Canonical scalar + JSON forms of a datum payload for triple rows. */
   def objForms(v: UValue): (String, String) = v match {
     case UStr(s)      => (s, "")
-    case UInt(i)      => (i.toString, "")
+    // UInt keeps a typed obj_json form (a JSON number) so triple-table sink
+    // renderers reconstruct the integer, not a quoted string — GuessMain over
+    // in-memory datums and the triple-table YAML sink must emit identical
+    // bytes for e.g. Debian-ITP
+    case UInt(i)      => (i.toString, i.toString)
     case UStrings(ss) =>
       val a = mapper.createArrayNode(); ss.foreach(a.add)
       ("", mapper.writeValueAsString(a))
