@@ -357,10 +357,90 @@ object SparkEntry {
         .select("subj", "obj", "certainty")
         .orderBy("subj")
     }),
+    "kg_registry_payloads" -> ((s, dir) => {
+      // the registry payload parsers as a distributed operator: a registry-
+      // snapshot side table (kind, raw API payload) parses into provenance-
+      // tagged datums — the offline core of the reference's 15 network
+      // providers, exercised across all five JSON registry dialects
+      import s.implicits._
+      t(s, dir, "documents").select(F.col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val subj = "reg:proj" + id
+          val kind = graft.spark.SynthRegistry.kindOf(id)
+          graft.registry.RegistryParsers
+            .parse(kind, graft.spark.SynthRegistry.payload(id))
+            .getOrElse(Nil)
+            .map(d => (subj, d.field,
+              graft.spark.Model.objForms(d.value)._1, d.certainty.getOrElse(-1)))
+        }
+        .toDF("subj", "pred", "obj", "certainty")
+        .orderBy("subj", "pred", "obj")
+    }),
+    "kg_enrich_registry" -> ((s, dir) => {
+      // end-to-end: RAW pypi payloads (claiming Version 9.9.9) parse into a
+      // registry side table that feeds the anti-join-gated enrichment — only
+      // the version-less cabal flavor gains the registry's value, capped at
+      // Likely; everything else keeps its extracted Version
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val canon = KgEngine.extractCanonical(s, pages)
+      import s.implicits._
+      val registry = t(s, dir, "documents").select(F.col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val subj = "https://replay.invalid/proj" + id + "/"
+          graft.registry.RegistryParsers
+            .parsePypi(graft.spark.SynthRegistry.pypi(id, "9.9.9"))
+            .getOrElse(Nil)
+            .map(d => (subj, d.field, graft.spark.Model.objForms(d.value)._1))
+        }
+        .toDF("subj", "pred", "obj")
+      KgEngine.enrichFromRegistry(canon, registry,
+          supportedFields = Seq("Version"), maxCertainty = 1)
+        .toDF()
+        .where(F.col("pred") === "Version")
+        .select("subj", "obj", "certainty")
+        .orderBy("subj")
+    }),
     "kg_doap_sink" -> ((s, dir) => {
       val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
       KgEngine.extractAndRender(s, pages, graft.pipeline.Sinks.toDoap)
         .toDF("subj", "doap")
+        .orderBy("subj")
+    }),
+    "kg_homepage_scrape" -> ((s, dir) => {
+      // extrapolation rule 14 over a crawled-homepage side table: flavor 6
+      // (setup.py, non-forge homepage, no Repository) gains a Possible
+      // Repository from the scraped GitHub link; every other flavor's
+      // higher-certainty extraction wins the re-argmax
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val canon = KgEngine.extractCanonical(s, pages)
+      val fetched = t(s, dir, "documents").select(
+        F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("url"),
+        F.concat(
+          F.lit("<html><body><p>Project page.</p><a href=\"https://github.com/org"),
+          F.pmod(F.col("doc_id"), F.lit(97)), F.lit("/proj"), F.col("doc_id"),
+          F.lit("\">GitHub</a></body></html>")).as("html"))
+      KgEngine.enrichFromHomepages(canon, fetched).toDF()
+        .where(F.col("pred") === "Repository")
+        .select("subj", "obj", "certainty")
+        .orderBy("subj")
+    }),
+    "kg_check_promote" -> ((s, dir) => {
+      // check_upstream_metadata over a probe-status side table: flavor-0
+      // homepages probe invalid (deleted), flavor-6 homepages probe valid
+      // (promoted Likely → Certain), everything else goes unprobed
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val canon = KgEngine.extractCanonical(s, pages)
+      val docs = t(s, dir, "documents")
+      val hp = F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/"))
+      val probes = docs.where(F.pmod(F.col("doc_id"), F.lit(8)).isin(0, 6))
+        .select(
+          hp.as("url"),
+          F.when(F.pmod(F.col("doc_id"), F.lit(8)) === 0, "invalid")
+            .otherwise("valid").as("status"),
+          hp.as("canonical_url"))
+      KgEngine.applyUrlProbes(canon, probes).toDF()
+        .where(F.col("pred") === "Homepage")
+        .select("subj", "obj", "certainty")
         .orderBy("subj")
     }),
     "kg_lineage" -> ((s, dir) => {
@@ -859,6 +939,83 @@ object SparkEntry {
          CASE WHEN doc_id % 8 = 5 THEN 1
               WHEN doc_id % 8 = 4 THEN 2 ELSE 3 END AS certainty
          FROM documents ORDER BY subj""",
+    "kg_registry_payloads" ->
+      // each registry dialect's parse reconstructed relationally: kind =
+      // doc_id % 5 (pypi, npm, crates, cpan, rubygems); npm datums carry no
+      // certainty (-1), the rest are Certain (3); list payloads (Keywords)
+      // have an empty scalar obj
+      """WITH d AS (
+           SELECT doc_id AS n, 'reg:proj'||doc_id AS subj, doc_id % 5 AS kind,
+             '1.'||(doc_id%10)||'.0' AS v,
+             'https://github.com/org'||(doc_id%97)||'/proj'||doc_id AS gh,
+             'https://proj'||doc_id||'.example.com/' AS hp
+           FROM documents
+         ),
+         triples AS (
+           -- pypi (kind 0)
+           SELECT subj, 'Author' AS pred,
+                  'Dev '||n||' <dev'||n||'@example.com>' AS obj, 3 AS certainty
+             FROM d WHERE kind = 0
+           UNION ALL SELECT subj, 'Bug-Database', gh||'/issues', 3 FROM d WHERE kind = 0
+           UNION ALL SELECT subj, 'Description', 'Desc '||n, 3 FROM d WHERE kind = 0
+           UNION ALL SELECT subj, 'Download',
+             'https://files.example.com/proj'||n||'.tar.gz', 3 FROM d WHERE kind = 0
+           UNION ALL SELECT subj, 'Homepage', hp, 3 FROM d WHERE kind = 0
+           UNION ALL SELECT subj, 'Keywords', '', 3 FROM d WHERE kind = 0
+           UNION ALL SELECT subj, 'License', 'MIT', 3 FROM d WHERE kind = 0
+           UNION ALL SELECT subj, 'Name', 'proj'||n, 3 FROM d WHERE kind = 0
+           UNION ALL SELECT subj, 'Repository', gh, 3 FROM d WHERE kind = 0
+           UNION ALL SELECT subj, 'Summary', 'Tool number '||n||'.', 3 FROM d WHERE kind = 0
+           UNION ALL SELECT subj, 'Version', v, 3 FROM d WHERE kind = 0
+           -- npm (kind 1): certainty None → -1
+           UNION ALL SELECT subj, 'Author',
+             'Dev '||n||' <dev'||n||'@example.com>', -1 FROM d WHERE kind = 1
+           UNION ALL SELECT subj, 'Bug-Database', gh||'/issues', -1 FROM d WHERE kind = 1
+           UNION ALL SELECT subj, 'Description', 'left pad '||n, -1 FROM d WHERE kind = 1
+           UNION ALL SELECT subj, 'Download',
+             'https://registry.example.com/proj'||n||'.tgz', -1 FROM d WHERE kind = 1
+           UNION ALL SELECT subj, 'Homepage', hp, -1 FROM d WHERE kind = 1
+           UNION ALL SELECT subj, 'Keywords', '', -1 FROM d WHERE kind = 1
+           UNION ALL SELECT subj, 'License', 'MIT', -1 FROM d WHERE kind = 1
+           UNION ALL SELECT subj, 'Name', 'proj'||n, -1 FROM d WHERE kind = 1
+           UNION ALL SELECT subj, 'Repository', 'git+'||gh||'.git', -1 FROM d WHERE kind = 1
+           UNION ALL SELECT subj, 'Version', v, -1 FROM d WHERE kind = 1
+           -- crates (kind 2)
+           UNION ALL SELECT subj, 'Homepage', hp, 3 FROM d WHERE kind = 2
+           UNION ALL SELECT subj, 'License', 'MIT', 3 FROM d WHERE kind = 2
+           UNION ALL SELECT subj, 'Name', 'proj'||n, 3 FROM d WHERE kind = 2
+           UNION ALL SELECT subj, 'Repository', gh, 3 FROM d WHERE kind = 2
+           UNION ALL SELECT subj, 'Summary', 'Tool number '||n||'.', 3 FROM d WHERE kind = 2
+           UNION ALL SELECT subj, 'Version', v, 3 FROM d WHERE kind = 2
+           -- cpan (kind 3)
+           UNION ALL SELECT subj, 'Author', 'DEV'||n, 3 FROM d WHERE kind = 3
+           UNION ALL SELECT subj, 'Download',
+             'https://cpan.example.com/proj'||n||'.tar.gz', 3 FROM d WHERE kind = 3
+           UNION ALL SELECT subj, 'Homepage',
+             'https://cpan.example.com/proj'||n||'.tar.gz', 3 FROM d WHERE kind = 3
+           UNION ALL SELECT subj, 'Name', 'proj'||n, 3 FROM d WHERE kind = 3
+           UNION ALL SELECT subj, 'Version', v, 3 FROM d WHERE kind = 3
+           -- rubygems (kind 4)
+           UNION ALL SELECT subj, 'Author', 'Dev '||n, 3 FROM d WHERE kind = 4
+           UNION ALL SELECT subj, 'Bug-Database', gh||'/issues', 3 FROM d WHERE kind = 4
+           UNION ALL SELECT subj, 'Documentation',
+             'https://docs.example.com/proj'||n, 3 FROM d WHERE kind = 4
+           UNION ALL SELECT subj, 'Homepage', hp, 3 FROM d WHERE kind = 4
+           UNION ALL SELECT subj, 'License', 'MIT', 3 FROM d WHERE kind = 4
+           UNION ALL SELECT subj, 'Name', 'proj'||n, 3 FROM d WHERE kind = 4
+           UNION ALL SELECT subj, 'Repository', gh, 3 FROM d WHERE kind = 4
+           UNION ALL SELECT subj, 'Version', v, 3 FROM d WHERE kind = 4
+         )
+         SELECT subj, pred, obj, certainty FROM triples ORDER BY subj, pred, obj""",
+    "kg_enrich_registry" ->
+      // identical gate to kg_enrich_gated, but the registry side is PARSED
+      // from raw pypi payloads instead of handed in pre-parsed
+      """SELECT 'https://replay.invalid/proj'||doc_id||'/' AS subj,
+         CASE WHEN doc_id % 8 = 5 THEN '9.9.9'
+              ELSE '1.'||(doc_id%10)||'.0' END AS obj,
+         CASE WHEN doc_id % 8 = 5 THEN 1
+              WHEN doc_id % 8 = 4 THEN 2 ELSE 3 END AS certainty
+         FROM documents ORDER BY subj""",
     "kg_doap_sink" ->
       // replicates Sinks.toDoap: field-sorted children, repository block last,
       // resource-valued props as <rdf:resource rdf:resource="..."/> children
@@ -898,6 +1055,30 @@ object SparkEntry {
              ||'  </doap:repository>'||chr(10), '')
            ||'</doap:Project>'||chr(10) AS doap
          FROM m ORDER BY subj""",
+    "kg_homepage_scrape" ->
+      // flavor 6 gains the scraped repo at Possible (0); the rest keep their
+      // extracted Repository (gitlab for flavor 2; .git-canonicalized; the
+      // debian flavor's certainty is control-file Confident)
+      """SELECT 'https://replay.invalid/proj'||doc_id||'/' AS subj,
+         CASE WHEN doc_id % 8 = 6
+                THEN 'https://github.com/org'||(doc_id%97)||'/proj'||doc_id
+              WHEN doc_id % 8 = 2
+                THEN 'https://gitlab.com/org'||(doc_id%97)||'/proj'||doc_id||'.git'
+              ELSE 'https://github.com/org'||(doc_id%97)||'/proj'||doc_id||'.git'
+         END AS obj,
+         CASE WHEN doc_id % 8 = 6 THEN 0
+              WHEN doc_id % 8 = 4 THEN 2 ELSE 3 END AS certainty
+         FROM documents ORDER BY subj""",
+    "kg_check_promote" ->
+      // flavor 0 homepages probe invalid → deleted; flavor 6 promotes
+      // Likely → Certain; flavors 3/7 hold the forge browse URL at Possible
+      // (unprobed); the rest stay at their extracted Certain
+      """SELECT 'https://replay.invalid/proj'||doc_id||'/' AS subj,
+         CASE WHEN doc_id % 8 IN (3, 7)
+                THEN 'https://github.com/org'||(doc_id%97)||'/proj'||doc_id
+              ELSE 'https://proj'||doc_id||'.example.com/' END AS obj,
+         CASE WHEN doc_id % 8 IN (3, 7) THEN 0 ELSE 3 END AS certainty
+         FROM documents WHERE doc_id % 8 != 0 ORDER BY subj""",
     "kg_lineage" ->
       // pages per project: 2 (manifest + README), except debian's 5 files;
       // every synthesized page is an extraction candidate

@@ -452,6 +452,88 @@ object KgEngine {
       .as[CanonTriple]
   }
 
+  /** Homepage-scrape enrichment — extrapolation rule 14 in its crawl-scale
+    * form (/root/reference/src/homepage.rs:7-56): the reference fetches each
+    * subject's Homepage and harvests Repository / Bug-Database links from the
+    * page; offline the fetches arrive as a side table of already-crawled
+    * homepages (url, html). The join keys on the Homepage triple's object, so
+    * only subjects that HAVE a homepage consult the corpus; harvested datums
+    * enter the lattice at Possible and can only fill gaps.
+    */
+  def enrichFromHomepages(
+      canon: Dataset[CanonTriple],
+      fetched: DataFrame               // (url, html) crawled homepage corpus
+  ): Dataset[CanonTriple] = {
+    val spark = canon.sparkSession
+    import spark.implicits._
+    val cd = canon.toDF()
+    val homepages = cd.where(F.col("pred") === "Homepage")
+      .select(F.col("subj"), F.col("obj").as("url"))
+    val scraped = homepages
+      .join(fetched, Seq("url"))
+      .select(F.col("subj"), F.col("url"), F.col("html"))
+      .as[(String, String, String)]
+      .flatMap { case (subj, url, html) =>
+        if (html == null) Iterator.empty
+        else graft.extract.Homepage.guessFromPage(html, url).iterator.map { d =>
+          val (obj, objJson) = objForms(d.value)
+          (subj, d.field, obj, objJson)
+        }
+      }
+      .toDF("subj", "pred", "obj", "obj_json")
+    val newRaw = scraped.select(
+      F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
+      F.lit(Certainty.Possible).as("certainty"),
+      F.lit("homepage-scrape").as("origin"),
+      F.lit(1).as("guesser_rank"), F.lit(0).as("seq"))
+    val existingRaw = cd.select(
+      F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
+      F.col("certainty"), F.col("origin"),
+      F.lit(0).as("guesser_rank"), F.lit(0).as("seq"))
+    canonicalize(existingRaw.unionByName(newRaw).as[RawTriple]).as[CanonTriple]
+  }
+
+  /** URL-probe promotion in its relational form — the per-field rules of
+    * `check_upstream_metadata` (/root/reference/src/lib.rs:3991-4128) joined
+    * against a probe-status side table (url, status, canonical_url), status ∈
+    * valid | invalid | unverifiable:
+    *   - valid:   object replaced by the canonical URL; Repository promotes
+    *     only Confident → Certain, the other URL fields promote ≥ Likely →
+    *     Certain
+    *   - invalid: the triple is deleted
+    *   - unverifiable (or unprobed): untouched
+    * The cross-field Repository-Browse certainty sync lives in the pure
+    * `Checks.applyProbes`; at table scale it is a self-join rarely worth its
+    * shuffle, so this form intentionally omits it.
+    */
+  def applyUrlProbes(canon: Dataset[CanonTriple], probes: DataFrame): Dataset[CanonTriple] = {
+    import canon.sparkSession.implicits._
+    val checked = Seq("Repository", "Homepage", "Repository-Browse",
+      "Bug-Database", "Bug-Submit")
+    val cd = canon.toDF()
+    val p = F.broadcast(probes)  // probe fleets emit compact tables; a big
+                                 // one would shuffle-join on url instead
+    cd.join(p,
+        cd("obj") === probes("url") &&
+        cd("pred").isin(checked.map(x => x: Any): _*), "left")
+      .where(F.col("status").isNull || F.col("status") =!= "invalid")
+      .select(
+        F.col("subj"), F.col("pred"),
+        F.when(F.col("status") === "valid", F.col("canonical_url"))
+          .otherwise(cd("obj")).as("obj"),
+        F.col("obj_json"),
+        F.when(F.col("status") === "valid",
+            F.when(F.col("pred") === "Repository",
+                F.when(F.col("certainty") === Certainty.Confident,
+                  Certainty.Certain).otherwise(F.col("certainty")))
+              .otherwise(
+                F.when(F.col("certainty") >= Certainty.Likely,
+                  Certainty.Certain).otherwise(F.col("certainty"))))
+          .otherwise(F.col("certainty")).as("certainty"),
+        F.col("origin"))
+      .as[CanonTriple]
+  }
+
   /** Resume manifest: subjects hash into `buckets`; completed buckets are
     * recorded in a manifest table, and a restarted job anti-joins them away
     * without re-emitting committed partitions (north rule).

@@ -1,0 +1,61 @@
+package graft.spark
+
+/** Deterministic registry-API payloads synthesized per doc_id — the
+  * side-table analogue of SynthPages: what a crawl of the package-registry
+  * APIs (pypi/npm/crates/metacpan/rubygems) would land as parquet. Every
+  * payload is a pure function of doc_id, so the parse output has an exact
+  * DuckDB oracle. Shapes mirror the reference's canned JSON testdata under
+  * /root/reference/src/testdata.
+  */
+object SynthRegistry {
+
+  val kinds: Vector[String] = Vector("pypi", "npm", "crates", "cpan", "rubygems")
+
+  def kindOf(id: Long): String = kinds((id % 5).toInt)
+
+  private def v(id: Long): String = "1." + (id % 10) + ".0"
+  private def gh(id: Long): String =
+    "https://github.com/org" + (id % 97) + "/proj" + id
+
+  def pypi(id: Long, version: String): String =
+    s"""{"info":{"name":"proj$id","version":"$version","summary":"Tool number $id.",""" +
+    s""""description":"Desc $id","home_page":"https://proj$id.example.com/",""" +
+    s""""license":"MIT","author":"Dev $id","author_email":"dev$id@example.com",""" +
+    s""""keywords":"alpha, beta","project_urls":{"GitHub":"${gh(id)}",""" +
+    s""""Bug Tracker":"${gh(id)}/issues"}},"urls":[""" +
+    s"""{"packagetype":"sdist","url":"https://files.example.com/proj$id.tar.gz"},""" +
+    s"""{"packagetype":"bdist_wheel","url":"https://files.example.com/proj$id.whl"}]}"""
+
+  def npm(id: Long): String =
+    s"""{"name":"proj$id","description":"left pad $id",""" +
+    s""""homepage":"https://proj$id.example.com/",""" +
+    s""""author":{"name":"Dev $id","email":"dev$id@example.com"},""" +
+    s""""repository":{"type":"git","url":"git+${gh(id)}.git"},""" +
+    s""""bugs":{"url":"${gh(id)}/issues"},"license":"MIT","keywords":["pad","fmt"],""" +
+    s""""dist-tags":{"latest":"${v(id)}"},"versions":{"${v(id)}":{"version":"${v(id)}",""" +
+    s""""dist":{"tarball":"https://registry.example.com/proj$id.tgz"}}}}"""
+
+  def crates(id: Long): String =
+    s"""{"crate":{"name":"proj$id","homepage":"https://proj$id.example.com/",""" +
+    s""""repository":"${gh(id)}","description":"Tool number $id.",""" +
+    s""""license":"MIT","newest_version":"${v(id)}"}}"""
+
+  def cpan(id: Long): String =
+    s"""{"name":"proj$id","version":"${v(id)}",""" +
+    s""""download_url":"https://cpan.example.com/proj$id.tar.gz","author":"DEV$id"}"""
+
+  def rubygems(id: Long): String =
+    s"""{"name":"proj$id","version":"${v(id)}","authors":"Dev $id",""" +
+    s""""project_uri":"https://rubygems.example.com/gems/proj$id",""" +
+    s""""homepage_uri":"https://proj$id.example.com/","source_code_uri":"${gh(id)}",""" +
+    s""""bug_tracker_uri":"${gh(id)}/issues",""" +
+    s""""documentation_uri":"https://docs.example.com/proj$id","licenses":["MIT"]}"""
+
+  def payload(id: Long): String = kindOf(id) match {
+    case "pypi"     => pypi(id, v(id))
+    case "npm"      => npm(id)
+    case "crates"   => crates(id)
+    case "cpan"     => cpan(id)
+    case "rubygems" => rubygems(id)
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.registry.RegistryParsers
+
+/** Registry payload parsers replayed against the reference's own canned API
+  * payloads (/root/reference/src/testdata/) — the same vectors its provider
+  * unit tests assert on.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  private def td(name: String): String = {
+    val p = java.nio.file.Paths.get("/root/reference/src/testdata", name)
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+  }
+
+  private def field(ds: List[Datum], f: String): Option[UValue] =
+    ds.find(_.field == f).map(_.value)
+
+  test("pypi.json parses (python.rs pypi_tests + TryInto field set)") {
+    val ds = RegistryParsers.parsePypi(td("pypi.json")).toOption.get
+    assert(field(ds, "Name").contains(UStr("merge3")))
+    assert(field(ds, "Version").contains(UStr("0.0.15")))
+    assert(field(ds, "Summary").contains(UStr("Python implementation of 3-way merge")))
+    assert(field(ds, "License").contains(UStr("GNU GPLv2 or later")))
+    // author is null in the payload → no Author datum; maintainer is null too
+    assert(field(ds, "Author").isEmpty)
+    assert(field(ds, "Maintainer").isEmpty)
+    // home_page is null → Homepage comes only from project_urls
+    assert(field(ds, "Homepage").contains(UStr("https://www.breezy-vcs.org/")))
+    assert(field(ds, "Repository").contains(
+      UStr("https://github.com/breezy-team/merge3")))
+    // the sdist artifact (not the wheel) is the Download
+    val dl = ds.filter(_.field == "Download").map(_.value)
+    assert(dl == List(UStr(
+      "https://files.pythonhosted.org/packages/91/e1/fe09c161f80b5a8d8ede3270eadedac7e59a64ea1c313b97c386234480c1/merge3-0.0.15.tar.gz")))
+    assert(ds.forall(_.certainty.contains(Certainty.Certain)))
+  }
+
+  test("npm.json parses (node.rs npm_tests + TryInto field set)") {
+    val ds = RegistryParsers.parseNpm(td("npm.json")).toOption.get
+    assert(field(ds, "Name").contains(UStr("leftpad")))
+    assert(field(ds, "Description").contains(UStr("left pad numbers")))
+    assert(field(ds, "Homepage").contains(UStr("https://github.com/tmcw/leftpad#readme")))
+    assert(field(ds, "Author").contains(UPersons(List(
+      Person(Some("Tom MacWright"), Some("tom@macwright.org"))))))
+    assert(field(ds, "Repository").contains(UStr("git+https://github.com/tmcw/leftpad.git")))
+    assert(field(ds, "Bug-Database").contains(UStr("https://github.com/tmcw/leftpad/issues")))
+    assert(field(ds, "License").contains(UStr("BSD-3-Clause")))
+    assert(field(ds, "Keywords").contains(UStrings(List("pad", "numbers", "formatting", "format"))))
+    assert(field(ds, "Version").contains(UStr("0.0.1")))
+    assert(field(ds, "Download").isDefined)
+    // npm datums carry NO certainty in the reference (node.rs:186-270)
+    assert(ds.forall(_.certainty.isEmpty))
+  }
+
+  test("crates.io.json parses (rust.rs crates_io_tests + TryFrom field set)") {
+    val ds = RegistryParsers.parseCrates(td("crates.io.json")).toOption.get
+    assert(field(ds, "Name").contains(UStr("breezy")))
+    assert(field(ds, "Homepage").contains(UStr("https://www.breezy-vcs.org/")))
+    assert(field(ds, "Repository").contains(UStr("https://code.launchpad.net/brz")))
+    assert(field(ds, "Summary").contains(UStr("Friendly distributed version control system")))
+    assert(field(ds, "License").isEmpty) // null in the payload
+    assert(field(ds, "Version").contains(UStr("3.3.4")))
+  }
+
+  test("cpan.json parses (perl.rs test_load_from_json + TryFrom field set)") {
+    val ds = RegistryParsers.parseCpan(td("cpan.json")).toOption.get
+    assert(field(ds, "Name").contains(UStr("Pidl.pm")))
+    assert(field(ds, "Version").contains(UStr("0.02")))
+    val dl = "https://cpan.metacpan.org/authors/id/C/CT/CTRLSOFT/Parse-Pidl-0.02.tar.gz"
+    assert(field(ds, "Homepage").contains(UStr(dl)))
+    assert(field(ds, "Download").contains(UStr(dl)))
+    assert(field(ds, "Author").contains(UPersons(List(Person(name = Some("CTRLSOFT"))))))
+  }
+
+  test("rubygem.json parses (ruby.rs test_parse_gem + TryFrom field set)") {
+    val ds = RegistryParsers.parseRubygem(td("rubygem.json")).toOption.get
+    assert(field(ds, "Name").contains(UStr("bullet")))
+    assert(field(ds, "Version").contains(UStr("7.2.0")))
+    assert(field(ds, "Author").contains(UPersons(List(Person(name = Some("Richard Huang"))))))
+    assert(field(ds, "Homepage").contains(UStr("https://github.com/flyerhzm/bullet")))
+    assert(field(ds, "Repository").contains(UStr("https://github.com/flyerhzm/bullet")))
+    assert(field(ds, "License").contains(UStr("MIT")))
+    // wiki/documentation/mailing-list/bug-tracker/funding are null → absent
+    assert(field(ds, "Wiki").isEmpty)
+    assert(field(ds, "Documentation").isEmpty)
+    assert(field(ds, "Bug-Database").isEmpty)
+  }
+
+  test("sourceforge gtab.json: svn survives the cvs drop (test_parse_sf_json_svn)") {
+    val ds = RegistryParsers.parseSfJson(td("gtab.json"), "gtab", Some("gtab")).toOption.get
+    assert(ds.map(d => (d.field, d.value)) == List(
+      ("Name", UStr("gtab")),
+      ("Homepage", UStr("http://gtab.sourceforge.net")),
+      ("Repository", UStr("https://svn.code.sf.net/p/gtab/svn/trunk"))))
+  }
+
+  test("sourceforge zsh.json: git clone url (test_parse_sf_json_git)") {
+    val ds = RegistryParsers.parseSfJson(td("zsh.json"), "zsh", Some("zsh")).toOption.get
+    assert(ds.map(d => (d.field, d.value)) == List(
+      ("Name", UStr("zsh")),
+      ("Homepage", UStr("http://zsh.sourceforge.net/")),
+      ("Repository", UStr("https://git.code.sf.net/p/zsh/code"))))
+  }
+
+  test("sourceforge hg-diff.json: hg read-only url (test_parse_sf_json_hg_diff)") {
+    val ds = RegistryParsers.parseSfJson(td("hg-diff.json"), "hg-diff", Some("hg-diff")).toOption.get
+    assert(ds.map(d => (d.field, d.value)) == List(
+      ("Name", UStr("hg-diff")),
+      ("Homepage", UStr("http://hg-diff.sourceforge.net/")),
+      ("Repository", UStr("http://hg.code.sf.net/p/hg-diff/code"))))
+  }
+
+  test("sourceforge docdb-v.json: bug db kept raw offline (test_parse_sf_json_docdb_v)") {
+    val ds = RegistryParsers.parseSfJson(td("docdb-v.json"), "docdb-v", Some("docdb-v")).toOption.get
+    assert(ds.map(d => (d.field, d.value)) == List(
+      ("Name", UStr("DocDB")),
+      ("Homepage", UStr("http://docdb-v.sourceforge.net")),
+      ("Bug-Database",
+        UStr("http://sourceforge.net/tracker/?func=add&group_id=164024&atid=830064")),
+      ("Repository", UStr("https://git.code.sf.net/p/docdb-v/git"))))
+  }
+
+  test("pecl.html parses (php.rs test_guess_from_pecl_page)") {
+    val ds = RegistryParsers.parsePeclPage(td("pecl.html"))
+    assert(ds.map(d => (d.field, d.value)) == List(
+      ("Repository-Browse", UStr("https://github.com/eduardok/libsmbclient-php")),
+      ("Bug-Database", UStr("https://github.com/eduardok/libsmbclient-php/issues")),
+      ("Homepage", UStr("https://github.com/eduardok/libsmbclient-php"))))
+  }
+
+  test("pecl empty and malformed pages yield nothing (php.rs edge tests)") {
+    assert(RegistryParsers.parsePeclPage("<html><body></body></html>") == Nil)
+    assert(RegistryParsers.parsePeclPage("this is not html at all") == Nil)
+  }
+
+  test("malformed payloads are Left, not exceptions") {
+    assert(RegistryParsers.parsePypi("{").isLeft)
+    assert(RegistryParsers.parsePypi("{}").isLeft)
+    assert(RegistryParsers.parseNpm("""{"name":"x"}""").isLeft)
+    assert(RegistryParsers.parseCrates("""{"crate":{}}""").isLeft)
+    assert(RegistryParsers.parseCpan("[1,2]").isLeft)
+    assert(RegistryParsers.parse("nosuch", "{}").isLeft)
+  }
+}
