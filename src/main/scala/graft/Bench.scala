@@ -15,7 +15,8 @@ object Bench {
   val headline: List[String] = List(
     "kg_canonical", "kg_raw_triples", "q1_agg", "q2_join_broadcast",
     "q4_star_join", "q6_sessions", "dedup_exact", "dedup_minhash",
-    "ann_lsh", "doc_token_stats", "doc_langid", "multimodal_decode")
+    "ann_lsh", "doc_token_stats", "doc_langid", "multimodal_decode",
+    "kg_registry_payloads")
 
   def runAll(spark: SparkSession, sfDir: String): (Map[String, Double], Double) = {
     val qs = SparkEntry.queries
@@ -179,18 +180,28 @@ object ScalingBench {
     }
     def roundEff(m: Map[Int, Double], lo: Int, hi: Int): Double =
       (pages / m(hi)) / ((hi.toDouble / lo) * (pages / m(lo)))
-    // pick the fastest round overall (sum of times): a quiet-machine window;
-    // efficiency is then reported from that same paired round
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // every efficiency is computed WITHIN a round (paired measurements, so a
+    // co-tenant burst can't mix into a ratio across configs); the headline
+    // claim is the MEDIAN across rounds — a gate met only by best-round
+    // selection on a shared VM is weak evidence — with the best round also
+    // reported for comparability with earlier rounds
     val bestRound = perRound.minBy(_.values.sum)
     val best = bestRound
     val pps = configs.map(c => c -> pages / best(c)).toMap
-    def eff(lo: Int, hi: Int): Double = roundEff(best, lo, hi)
     val times = configs.map(c => f""""t_$c":${best(c)}%.3f""").mkString(",")
     val rates = configs.map(c => f""""pages_per_sec_$c":${pps(c)}%.1f""").mkString(",")
     val effs = configs.sliding(2).collect {
-      case List(lo, hi) => f""""efficiency_${lo}_to_$hi":${eff(lo, hi)}%.3f"""
+      case List(lo, hi) =>
+        val series = perRound.map(m => roundEff(m, lo, hi)).toSeq
+        f""""efficiency_${lo}_to_${hi}_median":${median(series)}%.3f""" + "," +
+        f""""efficiency_${lo}_to_${hi}_best":${roundEff(best, lo, hi)}%.3f""" + "," +
+        f""""efficiency_${lo}_to_${hi}_max":${series.max}%.3f"""
     }.mkString(",")
     println(
-      s"""{"metric":"scaling","sf":"$sfDir","pages":${pages.toLong},"triples":$triples,$times,$rates,$effs}""")
+      s"""{"metric":"scaling","sf":"$sfDir","rounds":$rounds,"pages":${pages.toLong},"triples":$triples,$times,$rates,$effs}""")
   }
 }

@@ -109,8 +109,8 @@ object Summarize {
     * debian content is then read from `files`.
     */
   private def guessers(
-      files: Map[String, String],
-      relpathUniverse: Set[String],
+      files: scala.collection.Map[String, String],
+      relpathUniverse: scala.collection.Set[String],
       subjectBasename: String,
       envRepositoryUrl: Option[String],
       lookup: Option[(String, String) => List[Datum]]
@@ -269,7 +269,7 @@ object Summarize {
     * fix → sort. Returns (metadata, errors).
     */
   def summarize(
-      files: Map[String, String],
+      files: scala.collection.Map[String, String],
       subjectBasename: String,
       envRepositoryUrl: Option[String] = None
   ): (List[Datum], List[String]) = {
@@ -293,7 +293,7 @@ object Summarize {
 
   /** Raw extraction only — the scan-mode surface (raw_triples). */
   def extractRaw(
-      files: Map[String, String],
+      files: scala.collection.Map[String, String],
       subjectBasename: String,
       envRepositoryUrl: Option[String] = None
   ): List[Datum] = {
@@ -315,7 +315,7 @@ object Summarize {
     */
   def assemble(
       deferredFiles: Map[String, String],
-      relpathUniverse: Set[String],
+      relpathUniverse: scala.collection.Set[String],
       pre: Map[(String, String), List[Datum]],
       subjectBasename: String,
       envRepositoryUrl: Option[String] = None

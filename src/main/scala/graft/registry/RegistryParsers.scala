@@ -370,14 +370,234 @@ object RegistryParsers {
     out.result()
   }
 
-  /** Dispatch by registry kind — the one entry point the Spark side binds. */
+  // ---------- GitHub repos API (github.rs:139-203) ----------
+
+  /** `RepoMetadata::to_upstream_data`: Summary, Homepage, Repository
+    * (html_url), License (SPDX id; NOASSERTION and empties dropped).
+    */
+  def parseGithubRepo(payload: String): Either[String, List[Datum]] =
+    parseJson(payload, "github").map { root =>
+      val out = List.newBuilder[Datum]
+      str(root, "description").filter(_.nonEmpty).foreach(d =>
+        out += datum("Summary", UStr(d), Some(CERTAIN)))
+      str(root, "homepage").filter(_.nonEmpty).foreach(h =>
+        out += datum("Homepage", UStr(h), Some(CERTAIN)))
+      str(root, "html_url").foreach(u =>
+        out += datum("Repository", UStr(u), Some(CERTAIN)))
+      Option(root.get("license")).filter(_.isObject)
+        .flatMap(l => str(l, "spdx_id"))
+        .filter(s => s.nonEmpty && s != "NOASSERTION")
+        .foreach(l => out += datum("License", UStr(l), Some(CERTAIN)))
+      out.result()
+    }
+
+  // ---------- AUR PKGBUILD (arch.rs:7-161) ----------
+
+  /** `parse_pkgbuild_variables`: top-level `key=value` / `key=(values…)`
+    * bash assignments, with backslash continuations, multi-line arrays and
+    * shlex-split values; indented/comment lines skipped.
+    */
+  def parsePkgbuildVariables(file: String): Map[String, List[String]] = {
+    val variables = scala.collection.mutable.LinkedHashMap.empty[String, List[String]]
+    var keep: Option[(String, String)] = None
+    val joined = file.split("\n", -1).foldLeft(List.empty[String]) {
+      case (acc, line) if acc.headOption.exists(_.endsWith("\\")) =>
+        (acc.head.dropRight(1) + line) :: acc.tail
+      case (acc, line) => line :: acc
+    }.reverse
+    for (line <- joined) {
+      if (line.startsWith("\t") || line.startsWith(" ") || line.startsWith("#")) ()
+      else keep match {
+        case Some((key, value0)) =>
+          val value = value0 + line
+          if (line.stripTrailing.endsWith(")")) {
+            keep = None
+            graft.urls.VcsCommand.shlexSplit(value.stripTrailing.dropRight(1))
+              .foreach(parts => variables(key) = parts)
+          } else keep = Some((key, value))
+        case None =>
+          line.split("=", 2) match {
+            case Array(key, v0) if !key.contains(' ') =>
+              if (v0.startsWith("(")) {
+                val v = v0.substring(1)
+                if (v.stripTrailing.endsWith(")"))
+                  graft.urls.VcsCommand.shlexSplit(v.stripTrailing.dropRight(1))
+                    .foreach(parts => variables(key) = parts)
+                else keep = Some((key, v))
+              } else {
+                graft.urls.VcsCommand.shlexSplit(v0)
+                  .foreach(parts => variables(key) = parts)
+              }
+            case _ => ()
+          }
+      }
+    }
+    variables.toMap
+  }
+
+  private def stripVcsPrefixes(url: String): String = {
+    // vcs.rs:97-107
+    List("git", "hg").collectFirst {
+      case p if url.startsWith(p + "+") => url.substring(p.length + 1)
+    }.getOrElse(url)
+  }
+
+  /** AUR datum mapping (arch.rs:126-161): `url` → Homepage, `source[0]` →
+    * Repository after ${var} substitution / `name::url` split / `#branch=`
+    * normalization / vcs-prefix strip, `_gitroot` → Repository. The
+    * reference iterates a HashMap (arbitrary order); this port emits in the
+    * fixed order url, source, _gitroot for determinism.
+    */
+  def parseAurPkgbuild(file: String): List[Datum] = {
+    val variables = parsePkgbuildVariables(file)
+    val out = List.newBuilder[Datum]
+    // AUR's max_supported_certainty is Possible (arch.rs:192-194)
+    val c = Some(Certainty.Possible)
+    variables.get("url").flatMap(_.headOption).foreach(u =>
+      out += datum("Homepage", UStr(u), c))
+    variables.get("source").flatMap(_.headOption).foreach { v0 =>
+      var value = v0
+      if (value.contains("${"))
+        for ((k, v) <- variables.toList.sortBy(_._1)) {
+          value = value.replace("${" + k + "}", v.mkString(" "))
+          value = value.replace("$" + k, v.mkString(" "))
+        }
+      val url0 = value.split("::", 2) match {
+        case Array(_, u) => u
+        case _           => value
+      }
+      val url = url0.replace("#branch=", ",branch=")
+      out += datum("Repository", UStr(stripVcsPrefixes(url)), c)
+    }
+    variables.get("_gitroot").flatMap(_.headOption).foreach(u =>
+      out += datum("Repository", UStr(stripVcsPrefixes(u)), c))
+    out.result()
+  }
+
+  // ---------- GoboLinux recipes (gobo.rs:73-133) ----------
+
+  /** `url=` lines of a Recipe file → Homepage. */
+  def parseGoboRecipe(text: String): List[Datum] =
+    text.split("\n", -1).toList.collect {
+      case l if l.startsWith("url=") =>
+        datum("Homepage", UStr(l.stripPrefix("url=")), Some(CERTAIN))
+    }
+
+  private val GoboDescLine = java.util.regex.Pattern.compile("\\[(.*)\\] (.*)")
+
+  /** `[Field] value` lines of Resources/Description → datums. */
+  def parseGoboDescription(text: String): List[Datum] =
+    text.split("\n", -1).toList.flatMap { l =>
+      val m = GoboDescLine.matcher(l)
+      if (!m.matches()) None
+      else m.group(1) match {
+        case f @ ("Name" | "Summary" | "License" | "Description" | "Homepage") =>
+          Some(datum(f, UStr(m.group(2)), Some(CERTAIN)))
+        case _ => None
+      }
+    }
+
+  // ---------- Launchpad project API (launchpad.rs:66-92) ----------
+
+  /** The pure payload subset of `guess_from_launchpad`: the project record's
+    * scalar fields. The bzr/git code-hosting chain needs further fetches
+    * (branch / +code-import / +git records) and is feature-gated in the
+    * reference; at crawl scale those arrive as additional side-table columns
+    * and reuse this same shape.
+    */
+  def parseLaunchpadProject(payload: String): Either[String, List[Datum]] =
+    parseJson(payload, "launchpad").map { root =>
+      val out = List.newBuilder[Datum]
+      str(root, "homepage_url").foreach(v =>
+        out += datum("Homepage", UStr(v), Some(CERTAIN)))
+      str(root, "display_name").foreach(v =>
+        out += datum("Name", UStr(v), Some(CERTAIN)))
+      str(root, "sourceforge_project").foreach(v =>
+        out += datum("SourceForge-Project", UStr(v), Some(CERTAIN)))
+      str(root, "wiki_url").foreach(v =>
+        out += datum("Wiki", UStr(v), Some(CERTAIN)))
+      str(root, "summary").foreach(v =>
+        out += datum("Summary", UStr(v), Some(CERTAIN)))
+      str(root, "download_url").foreach(v =>
+        out += datum("Download", UStr(v), Some(CERTAIN)))
+      out.result()
+    }
+
+  // ---------- Repology project aggregation (providers/repology.rs) ----------
+
+  /** `guess_from_repology`: per-distro package entries vote on Homepage /
+    * License / Summary / Download values — an outdated package's vote counts
+    * 1, a current one 10; the top-scored value per field wins. The
+    * reference's HashMap iteration breaks score ties arbitrarily; this port
+    * breaks them by value (then emits fields alphabetically) so the
+    * aggregation is deterministic and oracle-checkable.
+    */
+  def parseRepology(payload: String): Either[String, List[Datum]] =
+    try {
+      val root = mapper.readTree(payload)
+      if (root == null || !root.isArray) Left("repology: not a JSON array")
+      else {
+        val scores = scala.collection.mutable.HashMap.empty[(String, String), Int]
+        root.forEach { entry =>
+          val score = if (str(entry, "status").contains("outdated")) 1 else 10
+          def addAll(field: String, key: String): Unit =
+            Option(entry.get(key)).filter(_.isArray).foreach(_.forEach(v =>
+              if (v.isTextual)
+                scores((field, v.asText)) = scores.getOrElse((field, v.asText), 0) + score))
+          addAll("Homepage", "www")
+          addAll("License", "licenses")
+          str(entry, "summary").foreach(s =>
+            scores(("Summary", s)) = scores.getOrElse(("Summary", s), 0) + score)
+          addAll("Download", "downloads")
+        }
+        Right(scores.groupBy(_._1._1).toList.sortBy(_._1).map { case (field, entries) =>
+          val best = entries.toList.maxBy { case ((_, v), s) => (s, v) }._1._2
+          datum(field, UStr(best), None)
+        })
+      }
+    } catch { case e: Exception => Left(s"repology: ${e.getMessage}") }
+
+  /** `parse_repology_name` + `perl_name_to_module` (repology.rs:4-22). */
+  def parseRepologyName(name: String): Option[(String, String)] =
+    name.split(":", 2) match {
+      case Array(family, n) if name.contains(':') => Some((family, n))
+      case _                                      => None
+    }
+
+  def perlNameToModule(name: String): String =
+    name.split('-').map(_.capitalize).mkString("::")
+
+  // ---------- pkg.go.dev (providers/go.rs:40-57) ----------
+
+  /** `remote_go_metadata`: pure string logic — github.com import paths yield
+    * GoImportPath + the module's repository URL.
+    */
+  def goMetadata(importPath: String): List[Datum] =
+    if (!importPath.startsWith("github.com/")) Nil
+    else List(
+      datum("Go-Import-Path", UStr(importPath), Some(CERTAIN)),
+      datum("Repository",
+        UStr("https://" + importPath.split('/').take(3).mkString("/")), Some(CERTAIN)))
+
+  /** Dispatch by registry kind — the one entry point the Spark side binds.
+    * `hackage` payloads are .cabal files and route through the existing
+    * cabal extractor (haskell.rs:157-176 fetches exactly that file).
+    */
   def parse(kind: String, payload: String): Either[String, List[Datum]] = kind match {
-    case "pypi"     => parsePypi(payload)
-    case "npm"      => parseNpm(payload)
-    case "crates"   => parseCrates(payload)
-    case "cpan"     => parseCpan(payload)
-    case "rubygems" => parseRubygem(payload)
-    case "pecl"     => Right(parsePeclPage(payload))
-    case other      => Left(s"unknown registry kind: $other")
+    case "pypi"      => parsePypi(payload)
+    case "npm"       => parseNpm(payload)
+    case "crates"    => parseCrates(payload)
+    case "cpan"      => parseCpan(payload)
+    case "rubygems"  => parseRubygem(payload)
+    case "pecl"      => Right(parsePeclPage(payload))
+    case "github"    => parseGithubRepo(payload)
+    case "aur"       => Right(parseAurPkgbuild(payload))
+    case "gobo-recipe"      => Right(parseGoboRecipe(payload))
+    case "gobo-description" => Right(parseGoboDescription(payload))
+    case "launchpad" => parseLaunchpadProject(payload)
+    case "repology"  => parseRepology(payload)
+    case "hackage"   => graft.extract.Extractors.cabal("hackage", payload)
+    case "go"        => Right(goMetadata(payload))
+    case other       => Left(s"unknown registry kind: $other")
   }
 }

@@ -1,7 +1,8 @@
 package graft.spark
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** The full production-shaped job: pages → triples / nodes / edges / lineage
   * tables, written in ONE input pass as bucket-partitioned parquet with a
@@ -16,17 +17,26 @@ object KgJob {
 
   val DefaultBuckets = 16
 
-  def manifestDir(outDir: String): java.nio.file.Path =
-    Paths.get(outDir, "_manifest")
+  /** Manifest I/O goes through the Hadoop FileSystem API, not java.nio: on a
+    * real cluster the commit markers must live on the JOB's filesystem
+    * (HDFS / object store) next to the tables, or resume breaks the moment a
+    * driver is replaced. Locally `file:` resolves to the same paths as
+    * before.
+    */
+  private def fs(outDir: String, conf: Configuration): FileSystem =
+    new Path(outDir).getFileSystem(conf)
 
-  def committedBuckets(outDir: String): Seq[Int] = {
+  def manifestDir(outDir: String): Path = new Path(outDir, "_manifest")
+
+  def committedBuckets(outDir: String,
+                       conf: Configuration = new Configuration()): Seq[Int] = {
+    val f = fs(outDir, conf)
     val dir = manifestDir(outDir)
-    if (!Files.isDirectory(dir)) return Nil
-    import scala.jdk.CollectionConverters._
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
       .collect { case s if s.startsWith("bucket_") => s.stripPrefix("bucket_").toInt }
-      .toSeq.sorted
+      .sorted
   }
 
   /** Runs (or resumes) the KG construction job. Returns the number of
@@ -54,8 +64,10 @@ object KgJob {
       buckets: Int = DefaultBuckets,
       maxBucketsPerRun: Int = Int.MaxValue
   ): Int = {
-    Files.createDirectories(manifestDir(outDir))
-    val done = committedBuckets(outDir).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(outDir, conf)
+    f.mkdirs(manifestDir(outDir))
+    val done = committedBuckets(outDir, conf).toSet
     val todo = (0 until buckets).filterNot(done).take(maxBucketsPerRun)
     if (todo.isEmpty) return 0
 
@@ -101,11 +113,31 @@ object KgJob {
           F.countDistinct("subj").as("n_subjects"),
           F.max("certainty").as("max_certainty"))
       write(met, "metrics")
+
+      // dynamic partition overwrite only replaces partitions PRESENT in this
+      // run's output: a todo bucket that produced zero rows for some table
+      // this time would silently keep that table's stale partition files
+      // from a crashed earlier attempt whose input differed. Delete the
+      // absent todo partitions explicitly before committing. Presence is
+      // per table family: edges/nodes can be empty for a bucket whose
+      // triples aren't (no URL-typed preds); all three derive from the
+      // cached canon, so these are cheap re-aggregations, not input scans.
+      def bucketsOf(df: DataFrame): Set[Int] =
+        df.select("bucket").distinct().collect().map(_.getInt(0)).toSet
+      val stale: Seq[(String, Set[Int])] = {
+        val canonPresent = bucketsOf(canon)
+        val ePresent = bucketsOf(e)
+        Seq("triples" -> canonPresent, "metrics" -> canonPresent,
+          "edges" -> ePresent, "nodes" -> ePresent,
+          "lineage" -> bucketsOf(lin))
+      }
+      for ((table, present) <- stale; b <- todo.filterNot(present))
+        f.delete(new Path(s"$outDir/$table/bucket=$b"), true)
     } finally canon.unpersist()
 
     // commit markers: a bucket is durable once all five tables landed
     todo.foreach(b =>
-      Files.write(manifestDir(outDir).resolve(s"bucket_$b"), Array.emptyByteArray))
+      f.create(new Path(manifestDir(outDir), s"bucket_$b"), true).close())
     todo.size
   }
 

@@ -30,12 +30,23 @@ class EventStreamingSpec extends AnyFunSuite {
 
   /** Writes real events as one file plus two future sentinel files (the ts
     * column is TIMESTAMP_NTZ — sentinels derive from max(ts) + interval so
-    * the type matches the existing files).
+    * the type matches the existing files). The file-stream source processes
+    * files in modification-time order, so each batch's files get EXPLICIT
+    * mtimes 60 s apart — relying on write latency for distinct mtimes is
+    * flaky on coarse-mtime filesystems (a sentinel picked up first would
+    * advance the watermark and drop every real event).
     */
   private def stageInput(in: String): Unit = {
+    val dir = new java.io.File(in)
+    val seen = scala.collection.mutable.Set.empty[String]
+    def stampNew(t: Long): Unit =
+      dir.listFiles().filter(_.getName.startsWith("part-"))
+        .filterNot(f => seen.contains(f.getName))
+        .foreach { f => assert(f.setLastModified(t)); seen += f.getName }
+    val t0 = System.currentTimeMillis() - 600000
     events.coalesce(1).write.mode("append").parquet(in)
+    stampNew(t0)
     for (k <- 1 to 2) {
-      Thread.sleep(80) // distinct mtimes → deterministic file order
       events.agg(F.max("ts").as("m")).select(
           F.lit(-1L).as("event_id"),
           F.expr(s"m + INTERVAL ${30 * k} DAYS").as("ts"),
@@ -44,6 +55,7 @@ class EventStreamingSpec extends AnyFunSuite {
           F.lit(0.0).as("value"),
           F.lit("{}").as("props"))
         .coalesce(1).write.mode("append").parquet(in)
+      stampNew(t0 + k * 60000L)
     }
   }
 

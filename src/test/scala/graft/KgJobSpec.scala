@@ -38,7 +38,8 @@ class KgJobSpec extends AnyFunSuite {
     // simulate a restart after partial completion: drop two commit markers
     // and their outputs
     for (b <- Seq(3, 5)) {
-      java.nio.file.Files.deleteIfExists(KgJob.manifestDir(out).resolve(s"bucket_$b"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(out, "_manifest", s"bucket_$b"))
     }
     val second = KgJob.run(spark, pages, out, buckets = 8)
     assert(second == 2) // only the uncommitted buckets re-ran
@@ -67,6 +68,32 @@ class KgJobSpec extends AnyFunSuite {
     assert(KgJob.committedBuckets(out).size == 8)
     val triples = spark.read.parquet(s"$out/triples").count()
     assert(triples == 8 * (11 + 11 + 11 + 10 + 10 + 9 + 6 + 10))
+  }
+
+  test("a re-run bucket whose input became empty drops its stale partitions") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where("doc_id < 64")
+    val pages = SynthPages.fromDocuments(docs)
+    val out = freshDir("kgjob_stale")
+    KgJob.run(spark, pages, out, buckets = 8)
+    // pick a bucket that actually has triples, uncommit it, and re-run with
+    // that bucket's subjects REMOVED from the input (e.g. the source purged
+    // them between attempts)
+    val b = spark.read.parquet(s"$out/triples")
+      .select("bucket").distinct().collect().map(_.getInt(0)).min
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(out, "_manifest", s"bucket_$b"))
+    val purged = graft.spark.KgEngine.resumeFilter(pages, Seq(b), 8)
+    KgJob.run(spark, purged, out, buckets = 8)
+    assert(KgJob.committedBuckets(out).size == 8)
+    // dynamic overwrite alone would have kept the crashed attempt's files;
+    // the explicit cleanup must have removed every table's stale partition
+    for (table <- Seq("triples", "edges", "nodes", "lineage", "metrics"))
+      assert(!new java.io.File(s"$out/$table/bucket=$b").exists(),
+        s"stale $table partition for bucket=$b survived")
+    // and the remaining data is intact (no other bucket was touched)
+    val remaining = spark.read.parquet(s"$out/triples")
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    assert(!remaining.contains(b) && remaining.nonEmpty)
   }
 
   test("streaming variant produces the same triples as batch") {

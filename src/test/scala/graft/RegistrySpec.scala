@@ -136,6 +136,114 @@ class RegistrySpec extends AnyFunSuite {
     assert(RegistryParsers.parsePeclPage("this is not html at all") == Nil)
   }
 
+  test("github repos API payload parses (github.rs test_parse_repo_metadata)") {
+    val payload = """{
+            "description": "Serialization framework for Rust",
+            "homepage": "https://serde.rs/",
+            "html_url": "https://github.com/serde-rs/serde",
+            "license": {"spdx_id": "Apache-2.0"},
+            "archived": false
+        }"""
+    val ds = RegistryParsers.parseGithubRepo(payload).toOption.get
+    assert(ds.map(d => (d.field, d.str.get)) == List(
+      ("Summary", "Serialization framework for Rust"),
+      ("Homepage", "https://serde.rs/"),
+      ("Repository", "https://github.com/serde-rs/serde"),
+      ("License", "Apache-2.0")))
+    // NOASSERTION licenses are dropped (github.rs test_noassertion_license_dropped)
+    assert(RegistryParsers.parseGithubRepo(
+      """{"license": {"spdx_id": "NOASSERTION"}}""").toOption.get == Nil)
+  }
+
+  test("AUR PKGBUILD variables and datum mapping (arch.rs:7-161)") {
+    val pkgbuild =
+      """# Maintainer: Someone
+        |pkgname=foo-git
+        |pkgver=1.2.3
+        |url="https://foo.example.com/"
+        |arch=('x86_64' 'i686')
+        |depends=('glibc'
+        |'curl')
+        |source=("${pkgname}::git+https://github.com/o/foo.git#branch=main")
+        |	make PREFIX=/usr
+        |""".stripMargin
+    val vars = RegistryParsers.parsePkgbuildVariables(pkgbuild)
+    assert(vars("pkgname") == List("foo-git"))
+    assert(vars("url") == List("https://foo.example.com/"))
+    assert(vars("arch") == List("x86_64", "i686"))
+    // faithful reference quirk (arch.rs:22-45): a continued array line is
+    // appended WITHOUT the newline, so adjacent quoted tokens concatenate
+    assert(vars("depends") == List("glibccurl"))
+    assert(!vars.contains("PREFIX"))               // indented lines skipped
+    val ds = RegistryParsers.parseAurPkgbuild(pkgbuild)
+    assert(ds.map(d => (d.field, d.str.get, d.certainty.get)) == List(
+      ("Homepage", "https://foo.example.com/", Certainty.Possible),
+      // ${pkgname} substituted, name:: split off, git+ stripped, #branch= fixed
+      ("Repository", "https://github.com/o/foo.git,branch=main", Certainty.Possible)))
+  }
+
+  test("gobo Recipe url= and [Field] Description lines (gobo.rs:73-133)") {
+    assert(RegistryParsers.parseGoboRecipe("url=https://x.example.com/\ncompile_version=1\n")
+      .map(d => (d.field, d.str.get)) == List(("Homepage", "https://x.example.com/")))
+    val desc = "[Name] Foo\n[Summary] Does things\n[License] GPL\n[Nope] skipped\n"
+    assert(RegistryParsers.parseGoboDescription(desc).map(d => (d.field, d.str.get)) ==
+      List(("Name", "Foo"), ("Summary", "Does things"), ("License", "GPL")))
+  }
+
+  test("launchpad project payload parses the pure scalar subset") {
+    val payload = """{"homepage_url": "https://inkscape.org/",
+      "display_name": "Inkscape", "sourceforge_project": "inkscape",
+      "wiki_url": "https://wiki.inkscape.org/", "summary": "A vector editor",
+      "download_url": "https://inkscape.org/release/"}"""
+    val ds = RegistryParsers.parseLaunchpadProject(payload).toOption.get
+    assert(ds.map(d => (d.field, d.str.get)) == List(
+      ("Homepage", "https://inkscape.org/"),
+      ("Name", "Inkscape"),
+      ("SourceForge-Project", "inkscape"),
+      ("Wiki", "https://wiki.inkscape.org/"),
+      ("Summary", "A vector editor"),
+      ("Download", "https://inkscape.org/release/")))
+  }
+
+  test("repology aggregation: current packages outvote outdated ones 10:1") {
+    val payload = """[
+      {"name": "foo", "status": "newest", "www": ["https://good.example.com/"],
+       "licenses": ["MIT"], "summary": "Good summary", "downloads": []},
+      {"name": "foo", "status": "outdated", "www": ["https://stale.example.com/"],
+       "licenses": ["GPL"], "summary": "Stale summary", "downloads": ["https://dl.example.com/foo.tar.gz"]},
+      {"name": "foo", "status": "outdated", "www": ["https://stale.example.com/"],
+       "licenses": ["GPL"], "summary": "Stale summary", "downloads": []}
+    ]"""
+    val ds = RegistryParsers.parseRepology(payload).toOption.get
+    val m = ds.map(d => d.field -> d.str.get).toMap
+    assert(m("Homepage") == "https://good.example.com/") // 10 beats 1+1
+    assert(m("License") == "MIT")
+    assert(m("Summary") == "Good summary")
+    assert(m("Download") == "https://dl.example.com/foo.tar.gz") // only vote
+  }
+
+  test("repology name parsing and perl module names (repology.rs:4-22)") {
+    assert(RegistryParsers.parseRepologyName("python:merge3").contains(("python", "merge3")))
+    assert(RegistryParsers.parseRepologyName("nocolon").isEmpty)
+    assert(RegistryParsers.perlNameToModule("parse-pidl") == "Parse::Pidl")
+    assert(RegistryParsers.perlNameToModule("libwww-perl") == "Libwww::Perl")
+  }
+
+  test("pkg.go.dev import paths (go.rs:40-57)") {
+    assert(RegistryParsers.goMetadata("github.com/jelmer/dulwich/sub")
+      .map(d => (d.field, d.str.get)) == List(
+        ("Go-Import-Path", "github.com/jelmer/dulwich/sub"),
+        ("Repository", "https://github.com/jelmer/dulwich")))
+    assert(RegistryParsers.goMetadata("gitlab.com/x/y") == Nil)
+  }
+
+  test("hackage payloads route through the cabal extractor") {
+    val ds = RegistryParsers.parse("hackage",
+      "name: foo\nversion: 1.0\nhomepage: https://foo.example.com/\n").toOption.get
+    assert(ds.exists(d => d.field == "Name" && d.str.contains("foo")))
+    assert(ds.exists(d => d.field == "Homepage" && d.str.contains("https://foo.example.com/")))
+  }
+
   test("malformed payloads are Left, not exceptions") {
     assert(RegistryParsers.parsePypi("{").isLeft)
     assert(RegistryParsers.parsePypi("{}").isLeft)
