@@ -76,13 +76,24 @@ object Bench {
   * scaling efficiency (pages/sec at 32 cores) / (4 × pages/sec at 8 cores).
   */
 object ScalingBench {
-  def timeKg(cores: Int, sfDir: String): (Double, Long) = {
+  /** (wall seconds, triples, cpu seconds summed over stages, gc seconds). The
+    * CPU sum is the co-tenancy-robust scaling signal on a shared VM: if
+    * cpuSum(4N cores) ≈ cpuSum(N cores) the algorithm adds no coordination
+    * work with parallelism and the remaining wall-clock gap is machine
+    * contention, not the plan.
+    */
+  def timeKg(cores: Int, sfDir: String): (Double, Long, Double, Double) = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
       // many small reduce tasks (≫ cores) so task waves pack tightly;
-      // AQE would otherwise coalesce to ~1 wave + remainder (stragglers)
-      .config("spark.sql.shuffle.partitions", cores * 8)
+      // AQE would otherwise coalesce to ~1 wave + remainder (stragglers).
+      // SPARK_GRAFT_FIXED_PARTITIONS pins ONE task count across configs —
+      // the cluster-faithful comparison (a real job keeps its partitioning
+      // while executors scale), which also keeps per-task constant costs
+      // identical between the N and 4N measurements
+      .config("spark.sql.shuffle.partitions",
+        sys.env.get("SPARK_GRAFT_FIXED_PARTITIONS").map(_.toInt).getOrElse(cores * 8))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
@@ -100,18 +111,19 @@ object ScalingBench {
     spark.sparkContext.setLogLevel("WARN")
     val profile = sys.env.contains("SPARK_GRAFT_PROFILE")
     val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long, Long)]
-    if (profile) {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          val si = sc.stageInfo
-          stages.append((si.stageId, si.numTasks,
-            si.taskMetrics.executorRunTime,
-            si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
-            si.taskMetrics.jvmGCTime))
-        }
-      })
-    }
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        // executorCpuTime is the true on-CPU nanosecond counter — unlike
+        // executorRunTime (task wall), it is not inflated by co-tenant
+        // steal or scheduler wait, so it isolates the plan's work
+        stages.append((si.stageId, si.numTasks,
+          si.taskMetrics.executorCpuTime / 1000000L,
+          si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+          si.taskMetrics.jvmGCTime))
+      }
+    })
     try {
       val pages = spark.read.parquet(ScalingBench.corpusPath(sfDir))
       def job() = sys.env.getOrElse("SPARK_GRAFT_MODE", "grouped") match {
@@ -124,11 +136,18 @@ object ScalingBench {
       stages.clear()
       val t0 = System.nanoTime()
       val n = job().count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // stage-completion events are posted asynchronously (the listener bus
+      // is not publicly drainable); a short grace period lets the final
+      // stage's event land before the cpu sum is read
+      Thread.sleep(300)
       if (profile) stages.foreach { case (id, nt, run, dur, gc) =>
         System.err.println(
           f"[profile c=$cores] stage $id%3d tasks=$nt%4d cpuSum=${run / 1000.0}%8.2fs wall=${dur / 1000.0}%7.2fs gc=${gc / 1000.0}%6.2fs")
       }
-      ((System.nanoTime() - t0) / 1e9, n)
+      val cpu = stages.map(_._3).sum / 1000.0
+      val gc = stages.map(_._5).sum / 1000.0
+      (wall, n, cpu, gc)
     } finally spark.stop()
   }
 
@@ -168,15 +187,18 @@ object ScalingBench {
     // best round wins, so a noisy spike can't mix into the ratio
     val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
     val perRound = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Double]]
+    val cpuRound = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Double]]
     var triples = 0L
     for (_ <- 0 until rounds) {
-      val m = configs.map { c =>
-        val (t, n) = timeKg(c, sfDir)
+      val results = configs.map { c =>
+        val (t, n, cpu, gc) = timeKg(c, sfDir)
         triples = n
-        c -> t
-      }.toMap
+        (c, t, cpu, gc)
+      }
+      val m = results.map(r => r._1 -> r._2).toMap
       perRound.append(m)
-      System.err.println(s"[scaling] round: $m")
+      cpuRound.append(results.map(r => r._1 -> r._3).toMap)
+      System.err.println(s"[scaling] round: $m cpu: ${results.map(r => r._1 -> f"${r._3}%.1f/gc=${r._4}%.1f").toMap}")
     }
     def roundEff(m: Map[Int, Double], lo: Int, hi: Int): Double =
       (pages / m(hi)) / ((hi.toDouble / lo) * (pages / m(lo)))
@@ -197,11 +219,18 @@ object ScalingBench {
     val effs = configs.sliding(2).collect {
       case List(lo, hi) =>
         val series = perRound.map(m => roundEff(m, lo, hi)).toSeq
+        // cpu-work invariance: median over rounds of cpuSum(N)/cpuSum(4N) —
+        // ~1.0 means parallelism adds no coordination work and any
+        // wall-clock efficiency shortfall is shared-VM contention
+        val cpuInv = median(cpuRound.map(m => m(lo) / m(hi)).toSeq)
         f""""efficiency_${lo}_to_${hi}_median":${median(series)}%.3f""" + "," +
         f""""efficiency_${lo}_to_${hi}_best":${roundEff(best, lo, hi)}%.3f""" + "," +
-        f""""efficiency_${lo}_to_${hi}_max":${series.max}%.3f"""
+        f""""efficiency_${lo}_to_${hi}_max":${series.max}%.3f""" + "," +
+        f""""cpu_work_invariance_${lo}_to_$hi":$cpuInv%.3f"""
     }.mkString(",")
+    val cpuMed = configs.map(c =>
+      f""""cpu_sec_$c":${median(cpuRound.map(_(c)).toSeq)}%.1f""").mkString(",")
     println(
-      s"""{"metric":"scaling","sf":"$sfDir","rounds":$rounds,"pages":${pages.toLong},"triples":$triples,$times,$rates,$effs}""")
+      s"""{"metric":"scaling","sf":"$sfDir","rounds":$rounds,"pages":${pages.toLong},"triples":$triples,$times,$rates,$cpuMed,$effs}""")
   }
 }
