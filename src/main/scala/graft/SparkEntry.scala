@@ -443,6 +443,48 @@ object SparkEntry {
         .select("subj", "obj", "certainty")
         .orderBy("subj")
     }),
+    "kg_full_enrich" -> ((s, dir) => {
+      // the full enrichment chain composed end-to-end: extract → parsed-
+      // registry Version fill (gated anti-join) → homepage-scrape Repository
+      // fill (rule 14) → URL-probe promotion/deletion. Each stage was
+      // oracle-verified alone; this query pins their composition. A
+      // production job would union the three raw-datum streams before ONE
+      // canonicalize; the staged form here exercises each operator's
+      // interface as a user would chain them.
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val canon0 = KgEngine.extractCanonical(s, pages)
+      import s.implicits._
+      val registry = t(s, dir, "documents").select(F.col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val subj = "https://replay.invalid/proj" + id + "/"
+          graft.registry.RegistryParsers
+            .parsePypi(graft.spark.SynthRegistry.pypi(id, "9.9.9"))
+            .getOrElse(Nil)
+            .map(d => (subj, d.field, graft.spark.Model.objForms(d.value)._1))
+        }
+        .toDF("subj", "pred", "obj")
+      val c1 = KgEngine.enrichFromRegistry(canon0, registry,
+        supportedFields = Seq("Version"), maxCertainty = 1)
+      val fetched = t(s, dir, "documents").select(
+        F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("url"),
+        F.concat(
+          F.lit("<html><body><p>Project page.</p><a href=\"https://github.com/org"),
+          F.pmod(F.col("doc_id"), F.lit(97)), F.lit("/proj"), F.col("doc_id"),
+          F.lit("\">GitHub</a></body></html>")).as("html"))
+      val c2 = KgEngine.enrichFromHomepages(c1, fetched)
+      val hp = F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/"))
+      val probes = t(s, dir, "documents")
+        .where(F.pmod(F.col("doc_id"), F.lit(8)).isin(0, 6))
+        .select(
+          hp.as("url"),
+          F.when(F.pmod(F.col("doc_id"), F.lit(8)) === 0, "invalid")
+            .otherwise("valid").as("status"),
+          hp.as("canonical_url"))
+      KgEngine.applyUrlProbes(c2, probes).toDF()
+        .where(F.col("pred").isin("Version", "Repository", "Homepage"))
+        .select("subj", "pred", "obj", "certainty")
+        .orderBy("subj", "pred")
+    }),
     "kg_lineage" -> ((s, dir) => {
       val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
       KgEngine.lineage(s, pages).toDF()
@@ -1079,6 +1121,35 @@ object SparkEntry {
               ELSE 'https://proj'||doc_id||'.example.com/' END AS obj,
          CASE WHEN doc_id % 8 IN (3, 7) THEN 0 ELSE 3 END AS certainty
          FROM documents WHERE doc_id % 8 != 0 ORDER BY subj""",
+    "kg_full_enrich" ->
+      // composition of the three per-stage oracles: registry fills the cabal
+      // flavor's Version at Likely; homepage scrape gives flavor 6 its repo
+      // at Possible; probes delete flavor-0 homepages and promote flavor 6's
+      """WITH base AS (
+           SELECT doc_id, doc_id % 8 AS flavor,
+             'https://replay.invalid/proj'||doc_id||'/' AS subj,
+             CASE WHEN doc_id % 8 = 2
+                  THEN 'https://gitlab.com/org'||(doc_id%97)||'/proj'||doc_id
+                  ELSE 'https://github.com/org'||(doc_id%97)||'/proj'||doc_id
+             END AS repo,
+             'https://proj'||doc_id||'.example.com/' AS hp
+           FROM documents
+         ),
+         out AS (
+           SELECT subj, 'Homepage' AS pred,
+             CASE WHEN flavor IN (3, 7) THEN repo ELSE hp END AS obj,
+             CASE WHEN flavor IN (3, 7) THEN 0 ELSE 3 END AS certainty
+           FROM base WHERE flavor != 0
+           UNION ALL SELECT subj, 'Repository',
+             CASE WHEN flavor = 6 THEN repo ELSE repo||'.git' END,
+             CASE WHEN flavor = 6 THEN 0 WHEN flavor = 4 THEN 2 ELSE 3 END
+           FROM base
+           UNION ALL SELECT subj, 'Version',
+             CASE WHEN flavor = 5 THEN '9.9.9' ELSE '1.'||(doc_id%10)||'.0' END,
+             CASE WHEN flavor = 5 THEN 1 WHEN flavor = 4 THEN 2 ELSE 3 END
+           FROM base
+         )
+         SELECT subj, pred, obj, certainty FROM out ORDER BY subj, pred""",
     "kg_lineage" ->
       // pages per project: 2 (manifest + README), except debian's 5 files;
       // every synthesized page is an extraction candidate
