@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{SparkSession, functions => F}
+import graft.spark.{KgEngine, SynthPages}
+
+/** Physical-plan shape of the enrichment operators — the properties that
+  * decide whether they survive a 100× scale-up:
+  *   - enrichFromRegistry's completeness gate must be a LEFT ANTI join (the
+  *     registry work stays proportional to the INCOMPLETE subjects);
+  *   - applyUrlProbes must broadcast the compact probe table (no shuffle of
+  *     the triples for a small side input);
+  *   - both must canonicalize through partial+final aggregation (max_by),
+  *     not a window-sort.
+  */
+class EnrichPlanSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    .where("doc_id < 64")
+
+  private def canon = KgEngine.extractCanonical(spark, SynthPages.fromDocuments(docs))
+
+  test("enrichFromRegistry gates through a left-anti join and aggregates with max_by") {
+    val registry = docs.select(
+      F.concat(F.lit("https://replay.invalid/proj"), F.col("doc_id"), F.lit("/")).as("subj"),
+      F.lit("Version").as("pred"), F.lit("9.9.9").as("obj"))
+    val out = KgEngine.enrichFromRegistry(canon, registry, Seq("Version"), 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no anti-join gate in plan:\n$plan")
+    assert(plan.contains("max_by"), "canonicalize must be the max_by aggregate")
+    assert(!plan.contains("Window"), "lattice argmax must not lower to a window sort")
+  }
+
+  test("applyUrlProbes broadcasts the probe table") {
+    val probes = docs.select(
+      F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("url"),
+      F.lit("valid").as("status"),
+      F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("canonical_url"))
+    val plan = KgEngine.applyUrlProbes(canon, probes)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("enrichFromHomepages joins homepages to the fetched corpus before any scrape") {
+    val fetched = docs.select(
+      F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("url"),
+      F.lit("<html><a href=\"https://github.com/o/r\">GitHub</a></html>").as("html"))
+    val out = KgEngine.enrichFromHomepages(canon, fetched)
+    val plan = out.queryExecution.executedPlan.toString
+    // the scrape's flatMap must sit ABOVE a join of (Homepage triples ⋈
+    // fetched) — i.e. only matched pages are parsed, never the whole corpus
+    assert(plan.contains("Join") || plan.contains("BroadcastHashJoin"),
+      s"no join between homepages and fetched corpus:\n$plan")
+    assert(plan.contains("max_by"))
+  }
+}
