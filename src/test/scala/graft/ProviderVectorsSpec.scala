@@ -88,4 +88,47 @@ class ProviderVectorsSpec extends AnyFunSuite {
     assert(out.find(_.field == "Name").flatMap(_.str).contains("mypackage"))
     assert(out.find(_.field == "Version").flatMap(_.str).contains("1.2.3"))
   }
+
+  test("META.yml: resources with wrong YAML types are skipped (perl.rs vector)") {
+    val yml = """---
+name: Test-Module
+resources:
+  bugtracker: 123
+  homepage: true
+  repository:
+    - not
+    - a
+    - string
+"""
+    val ds = Extractors.metaYml("META.yml", yml).toOption.get
+    assert(ds.exists(d => d.field == "Name" && d.str.contains("Test-Module")))
+    assert(!ds.exists(_.field == "Bug-Database"))
+    assert(!ds.exists(_.field == "Homepage"))
+    assert(!ds.exists(_.field == "Repository"))
+  }
+
+  test("gemspec: array where a string is expected is skipped (ruby.rs vector)") {
+    val spec = """Gem::Specification.new do |s|
+  s.name = ['not', 'a', 'string']
+  s.version = '1.0'
+  s.authors = ['Alice', 'Bob']
+end
+"""
+    val ds = Extractors.gemspec("test.gemspec", spec).toOption.get
+    assert(!ds.exists(_.field == "Name"))
+    assert(ds.exists(d => d.field == "Version" && d.str.contains("1.0")))
+    assert(ds.exists(_.field == "Author"))
+  }
+
+  test("cabal: invalid repository URL dropped, name kept (haskell.rs test_invalid_repo_url)") {
+    val lines = """Name: foo
+
+source-repository head
+  type: git
+  location: not a valid url at all
+"""
+    val ds = Extractors.cabal("foo.cabal", lines).toOption.get
+    assert(!ds.exists(_.field == "Repository"))
+    assert(ds.exists(d => d.field == "Name" && d.str.contains("foo")))
+  }
 }
