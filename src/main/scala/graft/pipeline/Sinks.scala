@@ -29,29 +29,40 @@ object Sinks {
     false
   }
 
+  /** Characters that cannot appear RAW in any YAML scalar without loss:
+    * C0 controls, DEL, the C1 range (a YAML-1.1 parser folds NEL U+0085 as a
+    * line break and C1 bytes are non-printable), and the U+2028/U+2029 line
+    * separators (also folded). These force the double-quoted escape form.
+    */
+  private def unsafeRaw(c: Char): Boolean =
+    c < ' ' || c == 0x7f || (c >= 0x80 && c <= 0x9f) ||
+    c == 0x2028 || c == 0x2029
+
   /** Double-quoted YAML scalar with escapes — the lossless form for strings
     * a block scalar cannot round-trip (trailing whitespace on any line, a
     * first content line that begins with a space — which indentation
-    * auto-detection would swallow — or any control character: a parser
-    * normalizes raw \r\n line breaks, and raw controls are invalid in YAML).
+    * auto-detection would swallow — or any raw-unsafe character above).
     */
   private def doubleQuoted(s: String): String =
     "\"" + s.flatMap {
-      case '\\'             => "\\\\"
-      case '"'              => "\\\""
-      case '\n'             => "\\n"
-      case '\r'             => "\\r"
-      case '\t'             => "\\t"
-      case c if c < ' '     => f"\\x${c.toInt}%02x"
-      case c                => c.toString
+      case '\\'                        => "\\\\"
+      case '"'                         => "\\\""
+      case '\n'                        => "\\n"
+      case '\r'                        => "\\r"
+      case '\t'                        => "\\t"
+      case c if unsafeRaw(c) && c < 0x100 => f"\\x${c.toInt}%02x"
+      case c if unsafeRaw(c)           => f"\\u${c.toInt}%04x"
+      case c                           => c.toString
     } + "\""
 
   private def blockSafe(s: String): Boolean = {
-    if (s.exists(c => c < ' ' && c != '\n')) return false
+    if (s.exists(c => unsafeRaw(c) && c != '\n')) return false
     // two or more trailing newlines can't round-trip through a clip-chomped
     // block literal ("a\n\n" parses back as "a\n"); keep-chomping would need
-    // |+ — simpler and equally lossless to double-quote
+    // |+ — simpler and equally lossless to double-quote. A string with no
+    // content lines at all ("\n") has no block form either.
     if (s.endsWith("\n\n")) return false
+    if (s.dropWhile(_ == '\n').isEmpty) return false
     val lines = s.split("\n", -1)
     val noTrailingWs = lines.forall(l =>
       l.isEmpty || (l.last != ' ' && l.last != '\t'))
@@ -70,8 +81,8 @@ object Sinks {
         indicator + "\n" + body.split("\n", -1).map(l =>
           if (l.isEmpty) "" else ind + l).mkString("\n")
       }
-    } else if (s.exists(_ < ' ')) {
-      doubleQuoted(s) // raw control chars are lossy in plain/single-quoted
+    } else if (s.exists(unsafeRaw)) {
+      doubleQuoted(s) // raw control/C1/line-separator chars are lossy
     } else if (needsQuoting(s)) {
       "'" + s.replace("'", "''") + "'"
     } else s
