@@ -252,4 +252,48 @@ class RegistrySpec extends AnyFunSuite {
     assert(RegistryParsers.parseCpan("[1,2]").isLeft)
     assert(RegistryParsers.parse("nosuch", "{}").isLeft)
   }
+
+  test("pypi: unknown project_urls types are ignored, known ones sorted by type") {
+    val payload = """{"info":{"name":"x","version":"1","summary":"s","description":"d",
+      "project_urls":{"Zweird": "https://z/", "Source": "https://src/",
+                      "Bug Reports": "https://bugs/", "Funding": "https://f/"}},
+      "urls":[]}"""
+    val ds = RegistryParsers.parsePypi(payload).toOption.get
+    val urls = ds.filter(d => Set("Repository", "Bug-Database", "Funding").contains(d.field))
+    assert(urls.map(d => (d.field, d.str.get)) == List(
+      ("Bug-Database", "https://bugs/"),   // "Bug Reports"
+      ("Funding", "https://f/"),
+      ("Repository", "https://src/")))     // "Source"
+    assert(!ds.exists(d => d.str.contains("https://z/")))
+  }
+
+  test("npm: missing dist-tags/latest yields no Version or Download") {
+    val ds = RegistryParsers.parseNpm(
+      """{"name":"x","description":"d","versions":{}}""").toOption.get
+    assert(!ds.exists(_.field == "Version"))
+    assert(!ds.exists(_.field == "Download"))
+    assert(ds.exists(_.field == "Name"))
+  }
+
+  test("rubygems: empty licenses render as an empty License string (faithful join)") {
+    val ds = RegistryParsers.parseRubygem(
+      """{"name":"x","version":"1","authors":"A","project_uri":"https://p/",
+         "licenses":[]}""").toOption.get
+    assert(ds.exists(d => d.field == "License" && d.str.contains("")))
+    assert(ds.exists(d => d.field == "Homepage" && d.str.contains("https://p/")))
+  }
+
+  test("sourceforge: web mounts are dropped before vcs selection") {
+    // two tools: a git tool mounted at .../web/ (a website checkout) and a
+    // real git tool — the web mount must be filtered out (sourceforge.rs:68-81)
+    val payload = """{"name": "p", "tools": [
+      {"name": "git", "mount_label": "Web", "url": "https://sourceforge.net/p/p/web/",
+       "clone_url_https_anon": "https://git.code.sf.net/p/p/web"},
+      {"name": "git", "mount_label": "Code", "url": "https://sourceforge.net/p/p/code/",
+       "clone_url_https_anon": "https://git.code.sf.net/p/p/code"}]}"""
+    val ds = RegistryParsers.parseSfJson(payload, "p", None).toOption.get
+    assert(ds.map(d => (d.field, d.str.get)) == List(
+      ("Name", "p"),
+      ("Repository", "https://git.code.sf.net/p/p/code")))
+  }
 }
