@@ -527,10 +527,20 @@ object KgEngine {
     val checked = Seq("Repository", "Homepage", "Repository-Browse",
       "Bug-Database", "Bug-Submit")
     val cd = canon.toDF()
-    val p = F.broadcast(probes)  // probe fleets emit compact tables; a big
+    // a probe table SHOULD be unique per url, but a retrying probe fleet can
+    // emit conflicting rows; joining them would duplicate triples. Collapse
+    // deterministically: the lexicographically largest (status, canonical)
+    // wins — 'valid' beats 'unverifiable' beats 'invalid', so a url that
+    // ever probed valid stays valid
+    val probes1 = probes.groupBy("url")
+      .agg(F.max_by(F.struct("status", "canonical_url"),
+        F.struct("status", "canonical_url")).as("b"))
+      .select(F.col("url"), F.col("b.status").as("status"),
+        F.col("b.canonical_url").as("canonical_url"))
+    val p = F.broadcast(probes1) // probe fleets emit compact tables; a big
                                  // one would shuffle-join on url instead
     cd.join(p,
-        cd("obj") === probes("url") &&
+        cd("obj") === probes1("url") &&
         cd("pred").isin(checked.map(x => x: Any): _*), "left")
       .where(F.col("status").isNull || F.col("status") =!= "invalid")
       .select(

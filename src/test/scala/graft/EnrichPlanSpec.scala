@@ -49,6 +49,24 @@ class EnrichPlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("conflicting duplicate probe rows collapse deterministically, no row fan-out") {
+    import spark.implicits._
+    val canonRows = Seq(graft.spark.Model.CanonTriple(
+      "s1", "Homepage", "https://h.example.com/", "", 1, "")).toDS()
+    // a retrying probe fleet emitted all three outcomes for the same url:
+    // 'valid' must win (a url that ever probed valid stays valid) and the
+    // triple must appear exactly once
+    val probes = Seq(
+      ("https://h.example.com/", "invalid", "https://h.example.com/"),
+      ("https://h.example.com/", "valid", "https://h2.example.com/"),
+      ("https://h.example.com/", "unverifiable", "https://h.example.com/")
+    ).toDF("url", "status", "canonical_url")
+    val out = KgEngine.applyUrlProbes(canonRows, probes).collect()
+    assert(out.length == 1)
+    assert(out.head.obj == "https://h2.example.com/")
+    assert(out.head.certainty == 3) // Likely promoted to Certain
+  }
+
   test("enrichFromHomepages joins homepages to the fetched corpus before any scrape") {
     val fetched = docs.select(
       F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("url"),
