@@ -443,6 +443,58 @@ object SparkEntry {
         .select("subj", "obj", "certainty")
         .orderBy("subj")
     }),
+    "kg_check_browse_sync" -> ((s, dir) => {
+      // Repository probe parity: flavor-4 (debian) repositories probe valid —
+      // the Confident→Certain promotion AND the Repository-Browse certainty
+      // sync (derived browse == existing browse → browse 2→3); flavor-2
+      // (gitlab) repositories probe invalid — deleted, browse untouched
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val canon = KgEngine.extractCanonical(s, pages)
+      val docs = t(s, dir, "documents")
+      val flavor = F.pmod(F.col("doc_id"), F.lit(8))
+      val repo = F.concat(
+        F.when(flavor === 2, F.lit("https://gitlab.com/org"))
+          .otherwise(F.lit("https://github.com/org")),
+        F.pmod(F.col("doc_id"), F.lit(97)), F.lit("/proj"), F.col("doc_id"),
+        F.lit(".git"))
+      val probes = docs.where(flavor.isin(2, 4))
+        .select(
+          repo.as("url"),
+          F.when(flavor === 4, "valid").otherwise("invalid").as("status"),
+          repo.as("canonical_url"))
+      KgEngine.applyUrlProbes(canon, probes).toDF()
+        .where(F.col("pred").isin("Repository", "Repository-Browse"))
+        .select("subj", "pred", "obj", "certainty")
+        .orderBy("subj", "pred")
+    }),
+    "kg_check_screenshots" -> ((s, dir) => {
+      // Screenshots tri-state re-verification over a probe side table: every
+      // subject holds a Likely 2-url list; url 1 probes live except every
+      // fifth doc (dead), url 2 probes dead for even docs and goes UNPROBED
+      // for odd docs — unprobed drops the url AND demotes the list back to
+      // Likely; fully-probed lists promote to Certain
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val img1 = F.concat(F.lit("https://img.example.com/p"), F.col("doc_id"), F.lit("/1.png"))
+      val img2 = F.concat(F.lit("https://img.example.com/p"), F.col("doc_id"), F.lit("/2.png"))
+      val canon = docs.select(
+          F.concat(F.lit("shot:proj"), F.col("doc_id")).as("subj"),
+          F.lit("Screenshots").as("pred"),
+          F.lit("").as("obj"),
+          F.concat(F.lit("[\""), img1, F.lit("\",\""), img2, F.lit("\"]")).as("obj_json"),
+          F.lit(graft.core.Certainty.Likely).as("certainty"),
+          F.lit("probe-test").as("origin"))
+        .as[graft.spark.Model.CanonTriple]
+      val shotProbes = docs
+        .select(img1.as("url"), (F.pmod(F.col("doc_id"), F.lit(5)) =!= 0).as("live"))
+        .unionByName(docs.where(F.pmod(F.col("doc_id"), F.lit(2)) === 0)
+          .select(img2.as("url"), F.lit(false).as("live")))
+      val emptyProbes = docs.where(F.lit(false)).select(
+        F.lit("").as("url"), F.lit("").as("status"), F.lit("").as("canonical_url"))
+      KgEngine.applyUrlProbes(canon, emptyProbes, Some(shotProbes)).toDF()
+        .select("subj", "obj_json", "certainty")
+        .orderBy("subj")
+    }),
     "kg_full_enrich" -> ((s, dir) => {
       // the full enrichment chain composed end-to-end: extract → parsed-
       // registry Version fill (gated anti-join) → homepage-scrape Repository
@@ -1121,6 +1173,37 @@ object SparkEntry {
               ELSE 'https://proj'||doc_id||'.example.com/' END AS obj,
          CASE WHEN doc_id % 8 IN (3, 7) THEN 0 ELSE 3 END AS certainty
          FROM documents WHERE doc_id % 8 != 0 ORDER BY subj""",
+    "kg_check_browse_sync" ->
+      // flavor 2 repositories probe invalid → deleted (browse survives);
+      // flavor 4 promotes Confident→Certain and syncs its browse 2→3 (both
+      // columns would read 2 without the promotion/sync rules); everything
+      // else was already Certain
+      """WITH base AS (
+           SELECT doc_id, doc_id % 8 AS flavor,
+             'https://replay.invalid/proj'||doc_id||'/' AS subj,
+             CASE WHEN doc_id % 8 = 2
+                  THEN 'https://gitlab.com/org'||(doc_id%97)||'/proj'||doc_id
+                  ELSE 'https://github.com/org'||(doc_id%97)||'/proj'||doc_id
+             END AS repo
+           FROM documents WHERE doc_id % 8 != 6
+         ),
+         out AS (
+           SELECT subj, 'Repository' AS pred, repo||'.git' AS obj, 3 AS certainty
+           FROM base WHERE flavor != 2
+           UNION ALL
+           SELECT subj, 'Repository-Browse', repo, 3 FROM base
+         )
+         SELECT subj, pred, obj, certainty FROM out ORDER BY subj, pred""",
+    "kg_check_screenshots" ->
+      // url 1 survives unless doc_id%5=0 (probed dead); url 2 never survives
+      // (dead for even docs, unprobed for odd); odd docs demote to Likely
+      // because an unprobed url is inconclusive
+      """SELECT 'shot:proj'||doc_id AS subj,
+         CASE WHEN doc_id % 5 != 0
+              THEN '["https://img.example.com/p'||doc_id||'/1.png"]'
+              ELSE '[]' END AS obj_json,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS certainty
+         FROM documents ORDER BY subj""",
     "kg_full_enrich" ->
       // composition of the three per-stage oracles: registry fills the cabal
       // flavor's Version at Likely; homepage scrape gives flavor 6 its repo

@@ -396,6 +396,13 @@ object RegistryParsers {
   /** `parse_pkgbuild_variables`: top-level `key=value` / `key=(values…)`
     * bash assignments, with backslash continuations, multi-line arrays and
     * shlex-split values; indented/comment lines skipped.
+    *
+    * Reference byte-quirks reproduced exactly (arch.rs:31-66):
+    *   - a multi-line array's closing line is shlex-split with the trailing
+    *     `)` STILL ATTACHED, so the last token keeps it;
+    *   - a single-line array checks `trim_end().ends_with(')')` but then
+    *     slices off only the last RAW character, so trailing whitespace
+    *     leaves the `)` in the token stream.
     */
   def parsePkgbuildVariables(file: String): Map[String, List[String]] = {
     val variables = scala.collection.mutable.LinkedHashMap.empty[String, List[String]]
@@ -412,7 +419,7 @@ object RegistryParsers {
           val value = value0 + line
           if (line.stripTrailing.endsWith(")")) {
             keep = None
-            graft.urls.VcsCommand.shlexSplit(value.stripTrailing.dropRight(1))
+            graft.urls.VcsCommand.shlexSplit(value)
               .foreach(parts => variables(key) = parts)
           } else keep = Some((key, value))
         case None =>
@@ -421,7 +428,7 @@ object RegistryParsers {
               if (v0.startsWith("(")) {
                 val v = v0.substring(1)
                 if (v.stripTrailing.endsWith(")"))
-                  graft.urls.VcsCommand.shlexSplit(v.stripTrailing.dropRight(1))
+                  graft.urls.VcsCommand.shlexSplit(v.dropRight(1))
                     .foreach(parts => variables(key) = parts)
                 else keep = Some((key, v))
               } else {

@@ -107,8 +107,13 @@ object KgEngine {
   private def candidateRows(spark: SparkSession, pages: DataFrame)
       : Dataset[(String, String, Long, String)] = {
     import spark.implicits._
+    // a null warc_ts (real crawls have captures with missing timestamps) must
+    // deterministically LOSE the duplicate-capture pick, not fail the task:
+    // coalesce to Long.MinValue before the non-nullable decode
     pages
-      .select(F.col("url"), F.unix_millis(F.col("warc_ts")), F.col("text"))
+      .select(F.col("url"),
+        F.coalesce(F.unix_millis(F.col("warc_ts")), F.lit(Long.MinValue)),
+        F.col("text"))
       .as[(String, Long, String)]
       .flatMap { case (url, ts, text) =>
         if (text == null) None
@@ -211,7 +216,9 @@ object KgEngine {
   def extractCanonicalPreExtract(spark: SparkSession, pages: DataFrame): Dataset[CanonTriple] = {
     import spark.implicits._
     pages
-      .select(F.col("url"), F.unix_millis(F.col("warc_ts")), F.col("text"))
+      .select(F.col("url"),
+        F.coalesce(F.unix_millis(F.col("warc_ts")), F.lit(Long.MinValue)),
+        F.col("text"))
       .as[(String, Long, String)]
       .flatMap { case (url, ts, text) =>
         if (text == null) Iterator.empty
@@ -476,6 +483,36 @@ object KgEngine {
     * only subjects that HAVE a homepage consult the corpus; harvested datums
     * enter the lattice at Possible and can only fill gaps.
     */
+  /** The scrape side shared by `enrichFromHomepages` and `enrichAll`: the
+    * canonical Homepage triples join the fetched corpus (only matched pages
+    * are ever parsed), and each page's datums are numbered in EMISSION order
+    * (`seq`) — canonicalize negates seq, so at equal certainty the
+    * first-in-document link wins, matching the reference's insert-first-wins
+    * merge (a page with both a 'GitHub' and a 'repository' anchor must not
+    * be shuffle-order dependent).
+    */
+  private def scrapedDatums(
+      spark: SparkSession,
+      cd: DataFrame,
+      fetched: DataFrame
+  ): DataFrame = {
+    import spark.implicits._
+    cd.where(F.col("pred") === "Homepage")
+      .select(F.col("subj"), F.col("obj").as("url"))
+      .join(fetched, Seq("url"))
+      .select(F.col("subj"), F.col("url"), F.col("html"))
+      .as[(String, String, String)]
+      .flatMap { case (subj, url, html) =>
+        if (html == null) Iterator.empty
+        else graft.extract.Homepage.guessFromPage(html, url)
+          .iterator.zipWithIndex.map { case (d, i) =>
+            val (obj, objJson) = objForms(d.value)
+            (subj, d.field, obj, objJson, i)
+          }
+      }
+      .toDF("subj", "pred", "obj", "obj_json", "seq")
+  }
+
   def enrichFromHomepages(
       canon: Dataset[CanonTriple],
       fetched: DataFrame               // (url, html) crawled homepage corpus
@@ -483,25 +520,12 @@ object KgEngine {
     val spark = canon.sparkSession
     import spark.implicits._
     val cd = canon.toDF()
-    val homepages = cd.where(F.col("pred") === "Homepage")
-      .select(F.col("subj"), F.col("obj").as("url"))
-    val scraped = homepages
-      .join(fetched, Seq("url"))
-      .select(F.col("subj"), F.col("url"), F.col("html"))
-      .as[(String, String, String)]
-      .flatMap { case (subj, url, html) =>
-        if (html == null) Iterator.empty
-        else graft.extract.Homepage.guessFromPage(html, url).iterator.map { d =>
-          val (obj, objJson) = objForms(d.value)
-          (subj, d.field, obj, objJson)
-        }
-      }
-      .toDF("subj", "pred", "obj", "obj_json")
+    val scraped = scrapedDatums(spark, cd, fetched)
     val newRaw = scraped.select(
       F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
       F.lit(Certainty.Possible).as("certainty"),
       F.lit("homepage-scrape").as("origin"),
-      F.lit(1).as("guesser_rank"), F.lit(0).as("seq"))
+      F.lit(1).as("guesser_rank"), F.col("seq"))
     val existingRaw = cd.select(
       F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
       F.col("certainty"), F.col("origin"),
@@ -510,7 +534,7 @@ object KgEngine {
   }
 
   /** URL-probe promotion in its relational form — the per-field rules of
-    * `check_upstream_metadata` (/root/reference/src/lib.rs:3991-4128) joined
+    * `check_upstream_metadata` (/root/reference/src/lib.rs:3991-4156) joined
     * against a probe-status side table (url, status, canonical_url), status ∈
     * valid | invalid | unverifiable:
     *   - valid:   object replaced by the canonical URL; Repository promotes
@@ -518,11 +542,24 @@ object KgEngine {
     *     Certain
     *   - invalid: the triple is deleted
     *   - unverifiable (or unprobed): untouched
-    * The cross-field Repository-Browse certainty sync lives in the pure
-    * `Checks.applyProbes`; at table scale it is a self-join rarely worth its
-    * shuffle, so this form intentionally omits it.
+    *   - Repository-Browse certainty sync (lib.rs:4007-4023): when a
+    *     Repository probed valid, the browse URL derived from its canonical
+    *     form, if equal to the subject's Repository-Browse object, syncs
+    *     that browse datum's certainty to the repository's — one extra
+    *     broadcast join on the valid-repository subset, batched into the
+    *     same pass
+    *   - Screenshots tri-state (lib.rs:4129-4155), when `screenshotProbes`
+    *     (url, live:boolean) is given: a Likely Screenshots list keeps its
+    *     live URLs, drops dead ones, and promotes to Certain unless any URL
+    *     went unprobed/inconclusive (→ falls back to Likely). Runs on the
+    *     tiny Screenshots subset only.
+    * Exactly the semantics of the pure `Checks.applyProbes`, table-scaled.
     */
-  def applyUrlProbes(canon: Dataset[CanonTriple], probes: DataFrame): Dataset[CanonTriple] = {
+  def applyUrlProbes(
+      canon: Dataset[CanonTriple],
+      probes: DataFrame,
+      screenshotProbes: Option[DataFrame] = None
+  ): Dataset[CanonTriple] = {
     import canon.sparkSession.implicits._
     val checked = Seq("Repository", "Homepage", "Repository-Browse",
       "Bug-Database", "Bug-Submit")
@@ -539,25 +576,85 @@ object KgEngine {
         F.col("b.canonical_url").as("canonical_url"))
     val p = F.broadcast(probes1) // probe fleets emit compact tables; a big
                                  // one would shuffle-join on url instead
-    cd.join(p,
+    // pre-replacement rows (original obj kept — the sync comparison below
+    // must see the ORIGINAL browse object, exactly like the pure twin which
+    // syncs before the browse field's own probe is applied)
+    val joined = cd.join(p,
         cd("obj") === probes1("url") &&
         cd("pred").isin(checked.map(x => x: Any): _*), "left")
       .where(F.col("status").isNull || F.col("status") =!= "invalid")
+      .select(F.col("subj"), F.col("pred"), cd("obj").as("obj"),
+        F.col("obj_json"), F.col("certainty"), F.col("origin"),
+        F.col("status"), F.col("canonical_url"))
+    // browse-certainty sync source: derive the browse URL only on the
+    // valid-Repository subset (tiny), carrying the repository's
+    // POST-promotion certainty, and broadcast it back
+    val browseOf = F.udf((repo: String) =>
+      graft.urls.UrlLite.parse(repo)
+        .flatMap(u => graft.urls.Vcs.browseUrlFromRepoUrl(
+          graft.urls.Vcs.VcsLocation(u, None, None)))
+        .map(_.toString).getOrElse(""))
+    val sync = joined
+      .where(F.col("pred") === "Repository" && F.col("status") === "valid")
+      .select(F.col("subj"),
+        browseOf(F.col("canonical_url")).as("_derived"),
+        F.when(F.col("certainty") === Certainty.Confident, Certainty.Certain)
+          .otherwise(F.col("certainty")).as("_repo_cert"))
+      .where(F.col("_derived") =!= "")
+    // reference order per row: (1) sync the browse certainty, (2) apply the
+    // row's own probe — canonical replacement + promotion over the SYNCED
+    // certainty (lib.rs:4007-4023 runs before the per-field loop :4039-4128)
+    val cert1 = F.when(F.col("pred") === "Repository-Browse" &&
+        F.col("obj") === F.col("_derived"), F.col("_repo_cert"))
+      .otherwise(F.col("certainty"))
+    val synced = joined.join(F.broadcast(sync), Seq("subj"), "left")
       .select(
         F.col("subj"), F.col("pred"),
         F.when(F.col("status") === "valid", F.col("canonical_url"))
-          .otherwise(cd("obj")).as("obj"),
+          .otherwise(F.col("obj")).as("obj"),
         F.col("obj_json"),
         F.when(F.col("status") === "valid",
             F.when(F.col("pred") === "Repository",
-                F.when(F.col("certainty") === Certainty.Confident,
-                  Certainty.Certain).otherwise(F.col("certainty")))
+                F.when(cert1 === Certainty.Confident,
+                  Certainty.Certain).otherwise(cert1))
               .otherwise(
-                F.when(F.col("certainty") >= Certainty.Likely,
-                  Certainty.Certain).otherwise(F.col("certainty"))))
-          .otherwise(F.col("certainty")).as("certainty"),
+                F.when(cert1 >= Certainty.Likely,
+                  Certainty.Certain).otherwise(cert1)))
+          .otherwise(cert1).as("certainty"),
         F.col("origin"))
-      .as[CanonTriple]
+    screenshotProbes match {
+      case None => synced.as[CanonTriple]
+      case Some(sp) =>
+        // only a Likely Screenshots LIST is re-verified; everything else
+        // passes through untouched
+        val isShot = F.col("pred") === "Screenshots" &&
+          F.col("certainty") === Certainty.Likely &&
+          F.col("obj_json").startsWith("[")
+        // duplicate probe rows for one url collapse deterministically:
+        // any `live` verdict beats a dead one (max over boolean)
+        val spb = F.broadcast(sp.groupBy("url").agg(F.max("live").as("live")))
+        val exploded = synced.where(isShot)
+          .select(F.col("subj"), F.col("pred"), F.col("origin"),
+            F.posexplode(F.from_json(F.col("obj_json"),
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StringType)))
+              .as(Seq("pos", "u")))
+        val reverified = exploded
+          .join(spb, exploded("u") === spb("url"), "left")
+          .groupBy("subj", "pred", "origin")
+          .agg(
+            F.to_json(F.transform(
+              F.array_sort(F.collect_list(F.when(F.col("live") === true,
+                F.struct(F.col("pos"), F.col("u"))))),
+              x => x("u"))).as("obj_json"),
+            F.max(F.col("live").isNull.cast("int")).as("_inconclusive"))
+          .select(F.col("subj"), F.col("pred"), F.lit("").as("obj"),
+            F.col("obj_json"),
+            F.when(F.col("_inconclusive") === 1, Certainty.Likely)
+              .otherwise(Certainty.Certain).as("certainty"),
+            F.col("origin"))
+        synced.where(!isShot).unionByName(reverified).as[CanonTriple]
+    }
   }
 
   /** Resume manifest: subjects hash into `buckets`; completed buckets are
@@ -578,9 +675,60 @@ object KgEngine {
       pages: DataFrame,
       completedBuckets: Seq[Int],
       buckets: Int
-  ): DataFrame = {
-    val subjCol = F.udf((url: String) =>
-      splitSubject(url).map(_._1).getOrElse("")).apply(F.col("url"))
-    pages.where(!bucketOf(subjCol, buckets).isin(completedBuckets.map(x => x: Any): _*))
+  ): DataFrame =
+    pages.where(!bucketOf(subjCol(F.col("url")), buckets)
+      .isin(completedBuckets.map(x => x: Any): _*))
+
+  // ---------- Catalyst forms of splitSubject / isCandidate ----------
+  // The resume filter and KgJob's lineage pass run these per input row at
+  // crawl scale; a ScalaUDF there breaks whole-stage codegen and blocks
+  // filter pushdown, so the url algebra is expressed as codegen'd string
+  // expressions. Equivalence with the Scala functions is property-tested
+  // (SubjectExprSpec) over fixture relpaths and adversarial synthetic urls.
+
+  /** `splitSubject(url)._1` as an expression: the minimal prefix
+    * scheme://host/seg1/ ("" when the url has no subject, matching None).
+    */
+  def subjCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    F.regexp_extract(url, "(?s)^(.*?://[^/]*/[^/]*/)", 1)
+
+  /** `isCandidate(relpath)` as an expression. The multi-segment patterns
+    * tolerate trailing slashes exactly like the Scala `split('/')` (which
+    * drops trailing empty segments).
+    */
+  def isCandidateCol(relpath: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val base = F.substring_index(relpath, "/", -1)
+    val lcb = F.lower(base)
+    val topLevel = !relpath.contains("/")
+    // extension after the LAST dot, "" when dotless or the dot leads
+    // (lastIndexOf('.') <= 0), matching the Scala ext computation
+    val ext = F.lower(F.regexp_extract(base, "^.+\\.([^.]*)$", 1))
+    val readmeLike =
+      (lcb.startsWith("readme") || lcb.startsWith("hacking") ||
+        lcb.startsWith("contributing")) &&
+      !base.endsWith("~") && !ext.isin("html", "pdf", "xml")
+    relpath.isin(staticNames.toSeq: _*) ||
+    relpath === "debian/source/format" ||
+    (relpath.startsWith("debian/patches/") && relpath.endsWith(".patch")) ||
+    relpath.isin(securityNames.toSeq: _*) ||
+    relpath.rlike("^[^/]*\\.egg-info/PKG-INFO/*$") ||
+    relpath.rlike("^[^/]*\\.dist-info/METADATA/*$") ||
+    relpath.rlike("^[^/]*/DESCRIPTION/*$") ||
+    (topLevel && (
+      base === "setup.py" ||
+      base.endsWith(".gemspec") || base.endsWith(".doap") ||
+      (base.endsWith(".xml") && base.startsWith("doap_XML_")) ||
+      base.endsWith(".metainfo.xml") || base.endsWith(".cabal") ||
+      base.endsWith(".nuspec") || base.endsWith(".opam") ||
+      readmeLike))
+  }
+
+  /** `splitSubject(url).exists(sr => isCandidate(sr._2))` as an expression
+    * (the per-url candidate test over raw page urls).
+    */
+  def candidateUrlCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val subj = subjCol(url)
+    val relpath = url.substr(F.length(subj) + 1, F.length(url))
+    subj =!= "" && isCandidateCol(relpath)
   }
 }

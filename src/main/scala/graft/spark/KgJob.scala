@@ -94,16 +94,15 @@ object KgJob {
       write(KgEngine.nodesDf(e, carry = Seq("bucket")), "nodes")
 
       // per-bucket lineage (url column only — a pruned scan): input pages
-      // and candidate pages per bucket for exactly the buckets being re-run
-      val subjOf = F.udf((url: String) =>
-        KgEngine.splitSubject(url).map(_._1).getOrElse(""))
-      val isCand = F.udf((url: String) =>
-        KgEngine.splitSubject(url).exists(sr => KgEngine.isCandidate(sr._2)))
+      // and candidate pages per bucket for exactly the buckets being re-run.
+      // Pure Catalyst string expressions (KgEngine.subjCol /
+      // candidateUrlCol) — no ScalaUDF, so the whole pass stays inside
+      // whole-stage codegen
       val lin = remaining.select(F.col("url"))
-        .withColumn("bucket", KgEngine.bucketOf(subjOf(F.col("url")), buckets))
+        .withColumn("bucket", KgEngine.bucketOf(KgEngine.subjCol(F.col("url")), buckets))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).as("input_rows"),
-          F.sum(isCand(F.col("url")).cast("long")).as("emitted"))
+          F.sum(KgEngine.candidateUrlCol(F.col("url")).cast("long")).as("emitted"))
       write(lin, "lineage")
 
       // per-bucket output metrics from the cached triples (north rule:

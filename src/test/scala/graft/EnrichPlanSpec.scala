@@ -67,6 +67,63 @@ class EnrichPlanSpec extends AnyFunSuite {
     assert(out.head.certainty == 3) // Likely promoted to Certain
   }
 
+  test("browse sync applies before the browse field's own promotion (reference order)") {
+    import spark.implicits._
+    // Repository at Likely probes valid (stays Likely — only Confident
+    // promotes); its derived browse matches the browse triple, which ALSO
+    // probes valid: the sync must set Likely FIRST, then the browse's own
+    // promotion lifts it to Certain. promote-then-sync would leave 1; no
+    // sync at all would leave 0 — only the reference order yields 3.
+    val canonRows = Seq(
+      graft.spark.Model.CanonTriple("s1", "Repository", "https://github.com/o/r.git", "", 1, ""),
+      graft.spark.Model.CanonTriple("s1", "Repository-Browse", "https://github.com/o/r", "", 0, "")
+    ).toDS()
+    val probes = Seq(
+      ("https://github.com/o/r.git", "valid", "https://github.com/o/r.git"),
+      ("https://github.com/o/r", "valid", "https://github.com/o/r")
+    ).toDF("url", "status", "canonical_url")
+    val out = KgEngine.applyUrlProbes(canonRows, probes).collect().sortBy(_.pred)
+    assert(out.map(t => (t.pred, t.obj, t.certainty)).toList == List(
+      ("Repository", "https://github.com/o/r.git", 1),
+      ("Repository-Browse", "https://github.com/o/r", 3)))
+    // the pure twin agrees rule for rule
+    val pure = graft.pipeline.Checks.applyProbes(
+      List(
+        graft.core.Datum("Repository", graft.core.UStr("https://github.com/o/r.git"),
+          Some(graft.core.Certainty.Likely), None),
+        graft.core.Datum("Repository-Browse", graft.core.UStr("https://github.com/o/r"),
+          Some(graft.core.Certainty.Possible), None)),
+      (_, url) => graft.pipeline.Checks.Valid(url))
+    assert(pure.map(d => (d.field, d.str.get, d.certainty.get)) == List(
+      ("Repository", "https://github.com/o/r.git", 1),
+      ("Repository-Browse", "https://github.com/o/r", 3)))
+  }
+
+  test("screenshots tri-state matches the pure Checks.applyProbes") {
+    import spark.implicits._
+    val canonRows = Seq(
+      graft.spark.Model.CanonTriple("s1", "Screenshots", "", "[\"a\",\"b\",\"c\"]", 1, "o"),
+      // a CERTAIN list is not re-verified — must pass through untouched
+      graft.spark.Model.CanonTriple("s2", "Screenshots", "", "[\"x\"]", 3, "o")
+    ).toDS()
+    val emptyProbes = Seq.empty[(String, String, String)]
+      .toDF("url", "status", "canonical_url")
+    val shotProbes = Seq(("a", true), ("b", false)).toDF("url", "live")
+    val out = KgEngine.applyUrlProbes(canonRows, emptyProbes, Some(shotProbes))
+      .collect().sortBy(_.subj)
+    // c unprobed → dropped AND the list demoted back to Likely
+    assert(out.map(t => (t.subj, t.obj_json, t.certainty)).toList == List(
+      ("s1", "[\"a\"]", 1), ("s2", "[\"x\"]", 3)))
+    val pureProbe = Map("a" -> true, "b" -> false)
+    val pure = graft.pipeline.Checks.applyProbes(
+      List(graft.core.Datum("Screenshots", graft.core.UStrings(List("a", "b", "c")),
+        Some(graft.core.Certainty.Likely), Some("o"))),
+      (_, _) => graft.pipeline.Checks.Unverifiable,
+      url => pureProbe.get(url))
+    assert(pure.head.value == graft.core.UStrings(List("a")))
+    assert(pure.head.certainty.contains(graft.core.Certainty.Likely))
+  }
+
   test("enrichFromHomepages joins homepages to the fetched corpus before any scrape") {
     val fetched = docs.select(
       F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("url"),

@@ -171,10 +171,17 @@ class RegistrySpec extends AnyFunSuite {
     assert(vars("pkgname") == List("foo-git"))
     assert(vars("url") == List("https://foo.example.com/"))
     assert(vars("arch") == List("x86_64", "i686"))
-    // faithful reference quirk (arch.rs:22-45): a continued array line is
-    // appended WITHOUT the newline, so adjacent quoted tokens concatenate
-    assert(vars("depends") == List("glibccurl"))
+    // faithful reference quirks (arch.rs:31-45): a continued array line is
+    // appended WITHOUT the newline, so adjacent quoted tokens concatenate —
+    // and the closing line is shlex-split with the `)` still attached, so the
+    // last token keeps it
+    assert(vars("depends") == List("glibccurl)"))
     assert(!vars.contains("PREFIX"))               // indented lines skipped
+    // single-line array with trailing whitespace (arch.rs:49-51): the check
+    // trims, but the slice drops only the last raw char → `)` survives as a
+    // token
+    val ws = RegistryParsers.parsePkgbuildVariables("arch=('x86_64' ) \n")
+    assert(ws("arch") == List("x86_64", ")"))
     val ds = RegistryParsers.parseAurPkgbuild(pkgbuild)
     assert(ds.map(d => (d.field, d.str.get, d.certainty.get)) == List(
       ("Homepage", "https://foo.example.com/", Certainty.Possible),
