@@ -35,6 +35,44 @@ object SparkEntry {
     (mentions, registry)
   }
 
+  /** Shared input for the enrichment-lifecycle queries: extraction plus a
+    * parsed pypi registry (Version 9.9.9), a fetched-homepage corpus with a
+    * GitHub link per page, and homepage probes (flavor 0 invalid, flavor 6
+    * valid) — composed through KgEngine.enrichAll (one canonicalize, then
+    * post-enrichment extrapolation, then probe promotion).
+    */
+  private def fullEnrich(s: SparkSession, dir: String): DataFrame = {
+    val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+    val canon = KgEngine.extractCanonical(s, pages)
+    import s.implicits._
+    val registry = t(s, dir, "documents").select(F.col("doc_id").cast("long")).as[Long]
+      .flatMap { id =>
+        val subj = "https://replay.invalid/proj" + id + "/"
+        graft.registry.RegistryParsers
+          .parsePypi(graft.spark.SynthRegistry.pypi(id, "9.9.9"))
+          .getOrElse(Nil)
+          .map(d => (subj, d.field, graft.spark.Model.objForms(d.value)._1))
+      }
+      .toDF("subj", "pred", "obj")
+    val fetched = t(s, dir, "documents").select(
+      F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("url"),
+      F.concat(
+        F.lit("<html><body><p>Project page.</p><a href=\"https://github.com/org"),
+        F.pmod(F.col("doc_id"), F.lit(97)), F.lit("/proj"), F.col("doc_id"),
+        F.lit("\">GitHub</a></body></html>")).as("html"))
+    val hp = F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/"))
+    val probes = t(s, dir, "documents")
+      .where(F.pmod(F.col("doc_id"), F.lit(8)).isin(0, 6))
+      .select(
+        hp.as("url"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(8)) === 0, "invalid")
+          .otherwise("valid").as("status"),
+        hp.as("canonical_url"))
+    KgEngine.enrichAll(canon, registry,
+      supportedFields = Seq("Version"), maxCertainty = 1,
+      fetched = fetched, probes = probes).toDF()
+  }
+
   /** Flagship: full KG construction (synth pages → canonical triples). */
   def entry(spark: SparkSession): DataFrame = {
     val docs = t(spark, "/root/testdata/sf0.001", "documents")
@@ -496,15 +534,38 @@ object SparkEntry {
         .orderBy("subj")
     }),
     "kg_full_enrich" -> ((s, dir) => {
-      // the full enrichment chain composed end-to-end: extract → parsed-
-      // registry Version fill (gated anti-join) → homepage-scrape Repository
-      // fill (rule 14) → URL-probe promotion/deletion. Each stage was
-      // oracle-verified alone; this query pins their composition. A
-      // production job would union the three raw-datum streams before ONE
-      // canonicalize; the staged form here exercises each operator's
-      // interface as a user would chain them.
+      // the full enrichment lifecycle in the reference's order (extend →
+      // extrapolate → check), composed through enrichAll: ONE canonicalize
+      // over the union of the existing, parsed-registry, and homepage-scrape
+      // raw streams, then the post-enrichment extrapolation fixpoint on the
+      // enriched subjects, then URL-probe promotion/deletion. Replaces the
+      // round-3 staged chain, which re-shuffled the full triple table per
+      // stage; oracle unchanged (result-identical by construction).
+      fullEnrich(s, dir)
+        .where(F.col("pred").isin("Version", "Repository", "Homepage"))
+        .select("subj", "pred", "obj", "certainty")
+        .orderBy("subj", "pred")
+    }),
+    "kg_enrich_extrapolate" -> ((s, dir) => {
+      // post-enrichment extrapolation (reference lifecycle: extend THEN
+      // extrapolate, lib.rs:3695): flavor 6 gains Repository at Possible
+      // from the homepage scrape and must then DERIVE Repository-Browse,
+      // Bug-Database and Bug-Submit at Possible — rows that simply don't
+      // exist without the post-enrichment fixpoint. Every other flavor is
+      // already at its extract-time fixpoint and passes through unchanged.
+      fullEnrich(s, dir)
+        .where(F.col("pred").isin("Repository-Browse", "Bug-Database", "Bug-Submit"))
+        .select("subj", "pred", "obj", "certainty")
+        .orderBy("subj", "pred")
+    }),
+    "kg_enrich_author" -> ((s, dir) => {
+      // structured registry payloads through the distributed path: pypi
+      // Author parses to a typed person list whose obj_json must survive
+      // enrichment — flavor 0 keeps its extracted Author (Confident beats
+      // the Likely-capped registry), every other flavor gains the registry
+      // person WITH its structured JSON form intact
       val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
-      val canon0 = KgEngine.extractCanonical(s, pages)
+      val canon = KgEngine.extractCanonical(s, pages)
       import s.implicits._
       val registry = t(s, dir, "documents").select(F.col("doc_id").cast("long")).as[Long]
         .flatMap { id =>
@@ -512,30 +573,18 @@ object SparkEntry {
           graft.registry.RegistryParsers
             .parsePypi(graft.spark.SynthRegistry.pypi(id, "9.9.9"))
             .getOrElse(Nil)
-            .map(d => (subj, d.field, graft.spark.Model.objForms(d.value)._1))
+            .map { d =>
+              val (obj, objJson) = graft.spark.Model.objForms(d.value)
+              (subj, d.field, obj, objJson)
+            }
         }
-        .toDF("subj", "pred", "obj")
-      val c1 = KgEngine.enrichFromRegistry(canon0, registry,
-        supportedFields = Seq("Version"), maxCertainty = 1)
-      val fetched = t(s, dir, "documents").select(
-        F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("url"),
-        F.concat(
-          F.lit("<html><body><p>Project page.</p><a href=\"https://github.com/org"),
-          F.pmod(F.col("doc_id"), F.lit(97)), F.lit("/proj"), F.col("doc_id"),
-          F.lit("\">GitHub</a></body></html>")).as("html"))
-      val c2 = KgEngine.enrichFromHomepages(c1, fetched)
-      val hp = F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/"))
-      val probes = t(s, dir, "documents")
-        .where(F.pmod(F.col("doc_id"), F.lit(8)).isin(0, 6))
-        .select(
-          hp.as("url"),
-          F.when(F.pmod(F.col("doc_id"), F.lit(8)) === 0, "invalid")
-            .otherwise("valid").as("status"),
-          hp.as("canonical_url"))
-      KgEngine.applyUrlProbes(c2, probes).toDF()
-        .where(F.col("pred").isin("Version", "Repository", "Homepage"))
-        .select("subj", "pred", "obj", "certainty")
-        .orderBy("subj", "pred")
+        .toDF("subj", "pred", "obj", "obj_json")
+      KgEngine.enrichFromRegistry(canon, registry,
+          supportedFields = Seq("Author"), maxCertainty = 1)
+        .toDF()
+        .where(F.col("pred") === "Author")
+        .select("subj", "obj", "obj_json", "certainty")
+        .orderBy("subj")
     }),
     "kg_lineage" -> ((s, dir) => {
       val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
@@ -1233,6 +1282,46 @@ object SparkEntry {
            FROM base
          )
          SELECT subj, pred, obj, certainty FROM out ORDER BY subj, pred""",
+    "kg_enrich_extrapolate" ->
+      // flavor 6's three derived rows exist ONLY through post-enrichment
+      // extrapolation of its scraped Possible Repository; flavors 5/7 hold
+      // manifest Bug-Database at Certain (Bug-Submit derives at the same);
+      // the rest derived theirs at extract time capped at Likely; browse
+      // passes the repository certainty through (Confident for debian)
+      """WITH base AS (
+           SELECT doc_id, doc_id % 8 AS flavor,
+             'https://replay.invalid/proj'||doc_id||'/' AS subj,
+             CASE WHEN doc_id % 8 = 2
+                  THEN 'https://gitlab.com/org'||(doc_id%97)||'/proj'||doc_id
+                  ELSE 'https://github.com/org'||(doc_id%97)||'/proj'||doc_id
+             END AS repo
+           FROM documents
+         ),
+         out AS (
+           SELECT subj, 'Bug-Database' AS pred, repo||'/issues' AS obj,
+             CASE WHEN flavor IN (5, 7) THEN 3
+                  WHEN flavor = 6 THEN 0 ELSE 1 END AS certainty
+           FROM base
+           UNION ALL SELECT subj, 'Bug-Submit', repo||'/issues/new',
+             CASE WHEN flavor IN (5, 7) THEN 3
+                  WHEN flavor = 6 THEN 0 ELSE 1 END
+           FROM base
+           UNION ALL SELECT subj, 'Repository-Browse', repo,
+             CASE WHEN flavor = 4 THEN 2
+                  WHEN flavor = 6 THEN 0 ELSE 3 END
+           FROM base
+         )
+         SELECT subj, pred, obj, certainty FROM out ORDER BY subj, pred""",
+    "kg_enrich_author" ->
+      // flavor 0 keeps its extracted Confident person; everyone else gains
+      // the registry person at Likely — with the structured JSON payload
+      // intact in both cases (typed obj_json threads through enrichment)
+      """SELECT 'https://replay.invalid/proj'||doc_id||'/' AS subj,
+         'Dev '||doc_id||' <dev'||doc_id||'@example.com>' AS obj,
+         '[{"name":"Dev '||doc_id||'","email":"dev'||doc_id||'@example.com"}]'
+           AS obj_json,
+         CASE WHEN doc_id % 8 = 0 THEN 2 ELSE 1 END AS certainty
+         FROM documents ORDER BY subj""",
     "kg_lineage" ->
       // pages per project: 2 (manifest + README), except debian's 5 files;
       // every synthesized page is an extraction candidate

@@ -462,8 +462,14 @@ object KgEngine {
     val gated = registry
       .where(F.col("pred").isin(fieldList: _*))
       .join(complete, Seq("subj"), "left_anti")
+    // structured registry payloads (RegistryParsers emits typed UValues —
+    // person lists, keyword arrays) keep their obj_json through the
+    // distributed path when the registry table carries the column
+    val regJson =
+      if (registry.columns.contains("obj_json")) F.col("obj_json")
+      else F.lit("")
     val newRaw = gated.select(
-      F.col("subj"), F.col("pred"), F.col("obj"), F.lit("").as("obj_json"),
+      F.col("subj"), F.col("pred"), F.col("obj"), regJson.as("obj_json"),
       F.lit(maxCertainty).as("certainty"),
       F.lit("external-registry").as("origin"),
       F.lit(1).as("guesser_rank"), F.lit(0).as("seq"))
@@ -531,6 +537,177 @@ object KgEngine {
       F.col("certainty"), F.col("origin"),
       F.lit(0).as("guesser_rank"), F.lit(0).as("seq"))
     canonicalize(existingRaw.unionByName(newRaw).as[RawTriple]).as[CanonTriple]
+  }
+
+  /** Post-enrichment extrapolation — the reference lifecycle runs the
+    * extrapolation fixpoint AFTER external enrichment
+    * (`extend_upstream_metadata` ends by calling `extrapolate_fields`,
+    * /root/reference/src/lib.rs:3695 → src/extrapolate.rs:511), so a
+    * Repository gained from a registry or homepage scrape derives
+    * Repository-Browse / Bug-Database / Bug-Submit / Name exactly like an
+    * extracted one. Relationally: extraction already left every subject at
+    * the extrapolation fixpoint and the rules are deterministic, so only
+    * subjects that actually GAINED data (identified by the enrichment
+    * origins) can change. The gate is applied IN-GROUP of a single
+    * groupByKey(subj) pass: a group with no enriched-origin row passes its
+    * rows through untouched (an iterator hand-off — no datum decoding, no
+    * fixpoint), so the extrapolation CPU stays proportional to the enriched
+    * subjects while the plan stays ONE linear pass. (A broadcast semi/anti
+    * split would gate the SHUFFLE too, but it consumes the upstream table
+    * twice — per-branch column pruning then defeats exchange reuse and the
+    * heaviest aggregate re-executes per branch, the exact pathology
+    * `enrichAll` exists to remove. The one subject-regroup here is over the
+    * already-canonicalized triple table, orders of magnitude below the page
+    * scan.) The per-subject fixpoint is the same pure `Summarize.extrapolate`
+    * the extractor runs (src/extrapolate.rs:427-618 rule set), fed through
+    * the typed obj/obj_json round-trip.
+    */
+  private def tripleToDatum(t: CanonTriple): graft.core.Datum =
+    graft.core.Datum(
+      t.pred, valueFromForms(t.obj, t.obj_json),
+      if (t.certainty < 0) None else Some(t.certainty),
+      if (t.origin.isEmpty) None else Some(t.origin))
+
+  private def datumToTriple(subj: String)(d: graft.core.Datum): CanonTriple = {
+    val (obj, objJson) = objForms(d.value)
+    CanonTriple(subj, d.field, obj, objJson,
+      d.certainty.getOrElse(-1), d.origin.getOrElse(""))
+  }
+
+  def extrapolatePost(
+      canon: Dataset[CanonTriple],
+      enrichedOrigins: Seq[String]
+  ): Dataset[CanonTriple] = {
+    import canon.sparkSession.implicits._
+    val origins = enrichedOrigins.toSet
+    canon.groupByKey(_.subj).flatMapGroups { (subj, it) =>
+      val rows = it.toArray
+      if (!rows.exists(r => origins.contains(r.origin))) rows.iterator
+      else {
+        val md = scala.collection.mutable.ArrayBuffer.from(
+          rows.map(tripleToDatum).sortBy(_.field))
+        Summarize.extrapolate(md)
+        md.sortBy(_.field).iterator.map(datumToTriple(subj))
+      }
+    }
+  }
+
+  /** The full enrichment lifecycle in the reference's order — extend
+    * (external registry + homepage scrape), extrapolate, check — with ONE
+    * full-table lattice aggregate: all raw datum streams union BEFORE
+    * `canonicalize`, instead of re-aggregating the whole triple table per
+    * stage (the staged `enrichFromRegistry → enrichFromHomepages →
+    * applyUrlProbes` chain shuffles the full table three times; at crawl
+    * scale that triples the heaviest exchange). Stage precedence at equal
+    * certainty is preserved through `guesser_rank` (existing 0 < registry 1 <
+    * scrape 2) — the same tie order the staged chain produces, so the two
+    * forms are result-identical.
+    *
+    * The scrape side joins the EXISTING canonical homepages: a homepage first
+    * learned from the registry in this same batch is scraped on the next
+    * incremental run — the price of the single exchange (the staged
+    * `enrichFromHomepages` remains available when same-batch scraping
+    * matters more than the shuffle count).
+    */
+  def enrichAll(
+      canon: Dataset[CanonTriple],
+      registry: DataFrame,             // (subj, pred, obj[, obj_json])
+      supportedFields: Seq[String],
+      maxCertainty: Int,
+      fetched: DataFrame,              // (url, html) crawled homepage corpus
+      probes: DataFrame,               // (url, status, canonical_url)
+      screenshotProbes: Option[DataFrame] = None,
+      extrapolateEnriched: Boolean = true
+  ): Dataset[CanonTriple] = {
+    val spark = canon.sparkSession
+    import spark.implicits._
+    val cd = canon.toDF()
+    val fieldList = supportedFields.map(x => x: Any)
+    val complete = cd
+      .where(F.col("pred").isin(fieldList: _*) &&
+             F.col("certainty") === Certainty.Certain)
+      .groupBy("subj").agg(F.countDistinct("pred").as("n_certain"))
+      .where(F.col("n_certain") === supportedFields.size)
+      .select("subj")
+    val regJson =
+      if (registry.columns.contains("obj_json")) F.col("obj_json")
+      else F.lit("")
+    val regRaw = registry
+      .where(F.col("pred").isin(fieldList: _*))
+      .join(complete, Seq("subj"), "left_anti")
+      .select(
+        F.col("subj"), F.col("pred"), F.col("obj"), regJson.as("obj_json"),
+        F.lit(maxCertainty).as("certainty"),
+        F.lit("external-registry").as("origin"),
+        F.lit(1).as("guesser_rank"), F.lit(0).as("seq"))
+    val scrapeRaw = scrapedDatums(spark, cd, fetched).select(
+      F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
+      F.lit(Certainty.Possible).as("certainty"),
+      F.lit("homepage-scrape").as("origin"),
+      F.lit(2).as("guesser_rank"), F.col("seq"))
+    val existingRaw = cd.select(
+      F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
+      F.col("certainty"), F.col("origin"),
+      F.lit(0).as("guesser_rank"), F.lit(0).as("seq"))
+    val merged = canonicalize(
+      existingRaw.unionByName(regRaw).unionByName(scrapeRaw).as[RawTriple])
+      .as[CanonTriple]
+    if (!extrapolateEnriched)
+      return applyUrlProbes(merged, probes, screenshotProbes)
+    // extrapolate + check FUSED into one subject-grouped pass over the merged
+    // table: the relational applyUrlProbes' browse-sync branch consumes its
+    // input twice (per-branch pruning then re-executes the canonicalize), so
+    // the checked path here runs the PURE Checks.applyProbes in-group — full
+    // reference parity (browse sync, Screenshots tri-state) with the probe
+    // tables shipped as broadcast maps, the same compact-table size class
+    // the relational form already broadcasts. Groups with nothing enriched
+    // and no probed url pass through as a plain iterator hand-off.
+    val probeMap: Map[String, (String, String)] = probes
+      .select("url", "status", "canonical_url").collect()
+      .groupBy(_.getString(0))
+      .map { case (u, rs) =>
+        // same deterministic collapse as the relational form: max (status,
+        // canonical) — 'valid' beats 'unverifiable' beats 'invalid'
+        u -> rs.map(r => (r.getString(1), r.getString(2))).max
+      }
+    val shotMap: Map[String, Boolean] = screenshotProbes
+      .map(_.select("url", "live").collect()
+        .groupBy(_.getString(0))
+        .map { case (u, rs) => u -> rs.map(_.getBoolean(1)).max })
+      .getOrElse(Map.empty)
+    val bProbes = spark.sparkContext.broadcast(probeMap)
+    val bShots = spark.sparkContext.broadcast(shotMap)
+    val origins = Set("external-registry", "homepage-scrape")
+    merged.groupByKey(_.subj).flatMapGroups { (subj, it) =>
+      val rows = it.toArray
+      val pm = bProbes.value
+      val sm = bShots.value
+      val enriched = rows.exists(r => origins.contains(r.origin))
+      val probed = rows.exists(r => pm.contains(r.obj)) ||
+        (sm.nonEmpty && rows.exists(r =>
+          r.pred == "Screenshots" && r.certainty == Certainty.Likely))
+      if (!enriched && !probed) rows.iterator
+      else {
+        val md = scala.collection.mutable.ArrayBuffer.from(
+          rows.map(tripleToDatum).sortBy(_.field))
+        if (enriched) Summarize.extrapolate(md)
+        // extrapolation can derive new urls that the probe fleet covered, so
+        // the check runs whenever any probe data exists for this batch
+        val checkedMd =
+          if (pm.nonEmpty || sm.nonEmpty)
+            graft.pipeline.Checks.applyProbes(
+              md.toList,
+              (_, url) => pm.get(url) match {
+                case Some(("valid", canonical)) =>
+                  graft.pipeline.Checks.Valid(canonical)
+                case Some(("invalid", _)) => graft.pipeline.Checks.Invalid
+                case _ => graft.pipeline.Checks.Unverifiable
+              },
+              url => sm.get(url))
+          else md.toList
+        checkedMd.sortBy(_.field).iterator.map(datumToTriple(subj))
+      }
+    }
   }
 
   /** URL-probe promotion in its relational form — the per-field rules of

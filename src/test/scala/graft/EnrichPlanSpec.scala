@@ -67,6 +67,81 @@ class EnrichPlanSpec extends AnyFunSuite {
     assert(out.head.certainty == 3) // Likely promoted to Certain
   }
 
+  test("enrichAll canonicalizes through exactly ONE (subj,pred) exchange") {
+    // the staged chain re-shuffled the full triple table once per stage
+    // (three (subj,pred) exchanges); enrichAll unions the raw streams first
+    // so the lattice argmax shuffles once, and the merged table has exactly
+    // ONE consumer (the in-group-gated extrapolation pass) so nothing
+    // re-executes it. AQE is disabled so the final plan is inspectable
+    // pre-execution.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val registry = docs.select(
+        F.concat(F.lit("https://replay.invalid/proj"), F.col("doc_id"), F.lit("/")).as("subj"),
+        F.lit("Version").as("pred"), F.lit("9.9.9").as("obj"))
+      val fetched = docs.select(
+        F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("url"),
+        F.lit("<html><a href=\"https://github.com/o/r\">GitHub</a></html>").as("html"))
+      val probes = docs.where(F.col("doc_id") % 8 === 6).select(
+        F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("url"),
+        F.lit("valid").as("status"),
+        F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("canonical_url"))
+      val out = KgEngine.enrichAll(canon, registry, Seq("Version"), 1, fetched, probes)
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val plan = out.queryExecution.executedPlan
+      // the full triple stream feeds exactly ONE lattice (max_by) aggregate
+      // exchange — the staged chain had three. (A second, cheap (subj,pred)
+      // exchange exists in the completeness gate's countDistinct partial,
+      // over a certainty-filtered two-column projection, not the stream.)
+      val maxByShuffles = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("subj") &&
+               e.outputPartitioning.toString.contains("pred") &&
+               e.child.collect { case u if u.nodeName == "Union" => u }.nonEmpty => e
+      }
+      assert(maxByShuffles.size == 1,
+        s"expected exactly one union-fed (subj,pred) exchange, found ${maxByShuffles.size}:\n" +
+          plan.toString.take(4000))
+      assert(plan.toString.contains("max_by"),
+        "the lattice argmax must be the max_by aggregate")
+      val subjPredShuffles = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("subj") &&
+               e.outputPartitioning.toString.contains("pred") => e
+      }
+      assert(subjPredShuffles.size <= 2,
+        s"unexpected extra (subj,pred) exchanges (${subjPredShuffles.size})")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("enrichAll is result-identical to the staged enrichment chain") {
+    val registry = docs.select(
+      F.concat(F.lit("https://replay.invalid/proj"), F.col("doc_id"), F.lit("/")).as("subj"),
+      F.lit("Version").as("pred"), F.lit("9.9.9").as("obj"))
+    val fetched = docs.select(
+      F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("url"),
+      F.concat(F.lit("<html><a href=\"https://github.com/org"),
+        F.pmod(F.col("doc_id"), F.lit(97)), F.lit("/proj"), F.col("doc_id"),
+        F.lit("\">GitHub</a></html>")).as("html"))
+    val probes = docs.where(F.col("doc_id") % 8 === 0).select(
+      F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("url"),
+      F.lit("invalid").as("status"),
+      F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("canonical_url"))
+    // extrapolation off: the staged chain has no post-enrichment fixpoint
+    val single = KgEngine.enrichAll(canon, registry, Seq("Version"), 1,
+        fetched, probes, extrapolateEnriched = false)
+      .collect().map(t => (t.subj, t.pred, t.obj, t.obj_json, t.certainty)).sorted
+    val staged = KgEngine.applyUrlProbes(
+        KgEngine.enrichFromHomepages(
+          KgEngine.enrichFromRegistry(canon, registry, Seq("Version"), 1),
+          fetched),
+        probes)
+      .collect().map(t => (t.subj, t.pred, t.obj, t.obj_json, t.certainty)).sorted
+    assert(single.length == staged.length)
+    assert(single.toSeq == staged.toSeq)
+  }
+
   test("browse sync applies before the browse field's own promotion (reference order)") {
     import spark.implicits._
     // Repository at Likely probes valid (stays Likely — only Confident
