@@ -16,7 +16,7 @@ object Bench {
     "kg_canonical", "kg_raw_triples", "q1_agg", "q2_join_broadcast",
     "q4_star_join", "q6_sessions", "dedup_exact", "dedup_minhash",
     "ann_lsh", "doc_token_stats", "doc_langid", "multimodal_decode",
-    "kg_registry_payloads")
+    "kg_registry_payloads", "kg_full_enrich")
 
   def runAll(spark: SparkSession, sfDir: String): (Map[String, Double], Double) = {
     val qs = SparkEntry.queries
@@ -88,10 +88,30 @@ object ScalingBench {
     * work with parallelism and the remaining wall-clock gap is machine
     * contention, not the plan.
     */
+  /** When SPARK_GRAFT_MASTER points at a standalone master
+    * (spark://host:port), `cores` becomes spark.cores.max and the job runs on
+    * SEPARATE executor JVMs (SPARK_GRAFT_EXEC_CORES cores each, default 8) —
+    * the multi-executor regime of the north rule: distinct heaps, GC, and
+    * netty shuffle fetch instead of one shared JVM. 8 vs 32 cores.max against
+    * 4 × 8-core workers = 1 executor vs 4 executors on the same input.
+    * Requires SPARK_GRAFT_JAR (sbt package output) so executors can load the
+    * engine classes.
+    */
   def timeKg(cores: Int, sfDir: String): (Double, Long, Double, Double) = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+    val master = sys.env.get("SPARK_GRAFT_MASTER")
+    val b0 = SparkSession.builder()
+      .master(master.getOrElse(s"local[$cores]"))
       .appName(s"graft-scaling-$cores")
+    val b1 = master.fold(b0) { _ =>
+      val withJar = sys.env.get("SPARK_GRAFT_JAR").fold(b0)(j => b0.config("spark.jars", j))
+      withJar
+        .config("spark.cores.max", cores)
+        .config("spark.executor.cores", sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "8"))
+        .config("spark.executor.memory", sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "16g"))
+        .config("spark.executor.extraJavaOptions",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_JAVA_OPTS", "-XX:+UseG1GC"))
+    }
+    val spark = b1
       // many small reduce tasks (≫ cores) so task waves pack tightly;
       // AQE would otherwise coalesce to ~1 wave + remainder (stragglers).
       // SPARK_GRAFT_FIXED_PARTITIONS pins ONE task count across configs —
@@ -142,8 +162,12 @@ object ScalingBench {
         case _     => graft.spark.KgEngine.extractCanonical(spark, pages)
       }
       // warm-up (JIT + page cache), then one measured run (the caller
-      // interleaves rounds and takes the per-config best)
-      job().count()
+      // interleaves rounds and takes the per-config best). In cluster mode
+      // every app starts FRESH executor JVMs and each executor only sees
+      // 1/N of a warm-up pass, so multi-executor runs need more of them
+      // (SPARK_GRAFT_WARMUPS) for JIT parity with the single-executor config
+      val warms = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "1").toInt
+      (0 until warms).foreach(_ => job().count())
       stages.clear()
       val t0 = System.nanoTime()
       val n = job().count()

@@ -481,6 +481,31 @@ object SparkEntry {
         .select("subj", "obj", "certainty")
         .orderBy("subj")
     }),
+    "kg_extend_sf" -> ((s, dir) => {
+      // the extend-stage SourceForge derivation (lib.rs:3521-3554) driven
+      // distributed: a registry Download naming an SF project derives
+      // Archive + SourceForge-Project at Likely inside the fused extend
+      // pass; Homepage/Bug-*/Repository* are checked first (none match), so
+      // the oracle also pins the reference's field order and Likely cap
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val canon = KgEngine.extractCanonical(s, pages)
+      val docs = t(s, dir, "documents")
+      val registry = docs.select(
+        F.concat(F.lit("https://replay.invalid/proj"), F.col("doc_id"), F.lit("/")).as("subj"),
+        F.lit("Download").as("pred"),
+        F.concat(F.lit("https://sourceforge.net/projects/proj"), F.col("doc_id"),
+          F.lit("/files/latest")).as("obj"))
+      val emptyFetched = docs.where(F.lit(false)).select(
+        F.lit("").as("url"), F.lit("").as("html"))
+      val emptyProbes = docs.where(F.lit(false)).select(
+        F.lit("").as("url"), F.lit("").as("status"), F.lit("").as("canonical_url"))
+      KgEngine.enrichAll(canon, registry,
+          supportedFields = Seq("Download"), maxCertainty = 1,
+          fetched = emptyFetched, probes = emptyProbes).toDF()
+        .where(F.col("pred").isin("Archive", "SourceForge-Project"))
+        .select("subj", "pred", "obj", "certainty")
+        .orderBy("subj", "pred")
+    }),
     "kg_check_browse_sync" -> ((s, dir) => {
       // Repository probe parity: flavor-4 (debian) repositories probe valid —
       // the Confident→Certain promotion AND the Repository-Browse certainty
@@ -1222,6 +1247,18 @@ object SparkEntry {
               ELSE 'https://proj'||doc_id||'.example.com/' END AS obj,
          CASE WHEN doc_id % 8 IN (3, 7) THEN 0 ELSE 3 END AS certainty
          FROM documents WHERE doc_id % 8 != 0 ORDER BY subj""",
+    "kg_extend_sf" ->
+      // every subject gains the SF Download at Likely → derives Archive +
+      // SourceForge-Project at min(Likely, Likely) = Likely
+      """SELECT subj, pred, obj, certainty FROM (
+           SELECT 'https://replay.invalid/proj'||doc_id||'/' AS subj,
+                  'Archive' AS pred, 'SourceForge' AS obj, 1 AS certainty
+           FROM documents
+           UNION ALL
+           SELECT 'https://replay.invalid/proj'||doc_id||'/',
+                  'SourceForge-Project', 'proj'||doc_id, 1
+           FROM documents
+         ) ORDER BY subj, pred""",
     "kg_check_browse_sync" ->
       // flavor 2 repositories probe invalid → deleted (browse survives);
       // flavor 4 promotes Confident→Certain and syncs its browse 2→3 (both

@@ -285,6 +285,7 @@ object Summarize {
     val metadata = ArrayBuffer.empty[Datum]
     Merge.updateFromGuesses(metadata, raw.iterator.filterNot(KnownBad.isBad))
 
+    extendSfArchive(metadata)
     extrapolate(metadata)
     fixMetadata(metadata)
 
@@ -331,9 +332,40 @@ object Summarize {
     }
     val metadata = ArrayBuffer.empty[Datum]
     Merge.updateFromGuesses(metadata, raw.iterator.filterNot(KnownBad.isBad))
+    extendSfArchive(metadata)
     extrapolate(metadata)
     fixMetadata(metadata)
     metadata.sortBy(_.field).toList
+  }
+
+  /** The offline head of `extend_upstream_metadata`
+    * (/root/reference/src/lib.rs:3521-3554), which runs UNCONDITIONALLY in
+    * the lifecycle (only the subsequent SourceForge fetch is net-gated): the
+    * first URL field, in the fixed order Homepage, Bug-Database, Bug-Submit,
+    * Repository, Repository-Browse, Download, whose value names a
+    * SourceForge project derives `Archive: SourceForge` and
+    * `SourceForge-Project` at min(Likely, field certainty), origin
+    * "derived from <field>"; then the loop breaks. The reference INSERTS
+    * (unconditional replace), bypassing the lattice — reproduced here.
+    */
+  def extendSfArchive(md: ArrayBuffer[Datum]): Unit = {
+    val fields = List("Homepage", "Bug-Database", "Bug-Submit",
+      "Repository", "Repository-Browse", "Download")
+    fields.iterator
+      .flatMap(f => get(md, f))
+      .flatMap(v => v.str.flatMap(Forges.extractSfProjectName)
+        .map(p => (v, p)))
+      .nextOption()
+      .foreach { case (v, project) =>
+        val certainty = Some(capped(v.certainty, Likely))
+        val origin = Some(s"derived from ${v.field}")
+        def insert(d: Datum): Unit = md.indexWhere(_.field == d.field) match {
+          case -1 => md += d
+          case i  => md(i) = d
+        }
+        insert(Datum("Archive", UStr("SourceForge"), certainty, origin))
+        insert(Datum("SourceForge-Project", UStr(project), certainty, origin))
+      }
   }
 
   // ---------- extrapolation fixpoint (src/extrapolate.rs) ----------

@@ -690,7 +690,12 @@ object KgEngine {
       else {
         val md = scala.collection.mutable.ArrayBuffer.from(
           rows.map(tripleToDatum).sortBy(_.field))
-        if (enriched) Summarize.extrapolate(md)
+        if (enriched) {
+          // extend-stage order (lib.rs:3521-3554 then :3695): the SF-archive
+          // derivation sees enrichment-gained URL fields before the fixpoint
+          Summarize.extendSfArchive(md)
+          Summarize.extrapolate(md)
+        }
         // extrapolation can derive new urls that the probe fleet covered, so
         // the check runs whenever any probe data exists for this batch
         val checkedMd =

@@ -114,4 +114,54 @@ class ChecksHomepageSpec extends AnyFunSuite {
     val out = Checks.applyProbes(md, (_, _) => Checks.Unverifiable, _ => Some(false))
     assert(out == md)
   }
+
+  // extend-stage SourceForge derivation (lib.rs:3521-3554)
+
+  private def sfRun(ds: Datum*): List[Datum] = {
+    val md = scala.collection.mutable.ArrayBuffer.from(ds)
+    graft.pipeline.Summarize.extendSfArchive(md)
+    md.toList
+  }
+
+  test("SF derivation: project-page and host forms, Likely cap, origin") {
+    val out = sfRun(Datum("Homepage",
+      UStr("https://sourceforge.net/projects/gtab/"), Some(Certainty.Certain), Some("f")))
+    assert(out.map(x => (x.field, x.str.get, x.certainty.get, x.origin.get)) == List(
+      ("Homepage", "https://sourceforge.net/projects/gtab/", 3, "f"),
+      ("Archive", "SourceForge", Certainty.Likely, "derived from Homepage"),
+      ("SourceForge-Project", "gtab", Certainty.Likely, "derived from Homepage")))
+    // host form (the reference regex with its unescaped dots)
+    val out2 = sfRun(d("Homepage", "http://zsh.sourceforge.net/", Certainty.Likely))
+    assert(out2.exists(x => x.field == "SourceForge-Project" && x.str.contains("zsh")))
+    // certainty below Likely passes through the min()
+    val out3 = sfRun(
+      Datum("Homepage", UStr("http://zsh.sourceforge.net/"), Some(Certainty.Possible), None))
+    assert(out3.find(_.field == "Archive").get.certainty.contains(Certainty.Possible))
+  }
+
+  test("SF derivation: reference field order and break-on-first") {
+    // Homepage is non-SF, Repository matches → derived from Repository; a
+    // later matching Download is never consulted (break)
+    val out = sfRun(
+      d("Homepage", "https://example.com/", Certainty.Certain),
+      d("Repository", "https://sourceforge.net/p/gtab/code", Certainty.Certain),
+      d("Download", "https://sourceforge.net/projects/other/files", Certainty.Certain))
+    assert(out.find(_.field == "SourceForge-Project").get.str.contains("gtab"))
+    assert(out.find(_.field == "Archive").get.origin.contains("derived from Repository"))
+  }
+
+  test("SF derivation inserts unconditionally (replaces an existing Archive)") {
+    val out = sfRun(
+      d("Archive", "CRAN", Certainty.Certain),
+      d("Homepage", "https://sourceforge.net/projects/gtab/", Certainty.Certain))
+    assert(out.count(_.field == "Archive") == 1)
+    assert(out.find(_.field == "Archive").get.str.contains("SourceForge"))
+  }
+
+  test("SF derivation: no URL field matches → untouched") {
+    val md = List(
+      d("Homepage", "https://example.com/", Certainty.Certain),
+      d("Repository", "https://github.com/o/r", Certainty.Certain))
+    assert(sfRun(md: _*) == md)
+  }
 }
