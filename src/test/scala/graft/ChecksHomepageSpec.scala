@@ -158,6 +158,17 @@ class ChecksHomepageSpec extends AnyFunSuite {
     assert(out.find(_.field == "Archive").get.str.contains("SourceForge"))
   }
 
+  test("SF derivation runs inside the per-subject summarize (extend stage)") {
+    val files = Map("package.json" ->
+      """{"name":"gtab","homepage":"https://sourceforge.net/projects/gtab/"}""")
+    val (md, _) = graft.pipeline.Summarize.summarize(files, "gtab")
+    assert(md.exists(x => x.field == "Archive" && x.str.contains("SourceForge")))
+    assert(md.exists(x => x.field == "SourceForge-Project" && x.str.contains("gtab")))
+    val a = md.find(_.field == "Archive").get
+    assert(a.certainty.contains(Certainty.Likely))
+    assert(a.origin.contains("derived from Homepage"))
+  }
+
   test("SF derivation: no URL field matches → untouched") {
     val md = List(
       d("Homepage", "https://example.com/", Certainty.Certain),
