@@ -586,6 +586,10 @@ object KgEngine {
       else {
         val md = scala.collection.mutable.ArrayBuffer.from(
           rows.map(tripleToDatum).sortBy(_.field))
+        // the full offline extend tail, in lifecycle order: the SF-archive
+        // head (lib.rs:3521-3554) sees enrichment-gained URL fields before
+        // the fixpoint — identical to enrichAll's fused pass
+        Summarize.extendSfArchive(md)
         Summarize.extrapolate(md)
         md.sortBy(_.field).iterator.map(datumToTriple(subj))
       }
@@ -608,6 +612,13 @@ object KgEngine {
     * incremental run — the price of the single exchange (the staged
     * `enrichFromHomepages` remains available when same-batch scraping
     * matters more than the shuffle count).
+    *
+    * The `canon` input is referenced three times (existing stream, homepage
+    * side, completeness gate). In production that input is a STORED triple
+    * table (KgJob's output), so each reference is a pruned parquet scan; if
+    * you pass a live extraction pipeline instead, persist it first or accept
+    * re-execution — the one full-width exchange guarantee below is about the
+    * enrichment itself, not the caller's upstream.
     */
   def enrichAll(
       canon: Dataset[CanonTriple],
@@ -736,6 +747,12 @@ object KgEngine {
     *     went unprobed/inconclusive (→ falls back to Likely). Runs on the
     *     tiny Screenshots subset only.
     * Exactly the semantics of the pure `Checks.applyProbes`, table-scaled.
+    *
+    * The browse-sync side re-reads the input filtered to valid-probed
+    * repositories — a pruned scan when the input is a stored table (the
+    * intended use); composing over a live pipeline re-executes it, which is
+    * why `enrichAll` runs these rules in its fused group pass instead of
+    * through this operator.
     */
   def applyUrlProbes(
       canon: Dataset[CanonTriple],

@@ -39,6 +39,86 @@ object KgStreaming {
       .start()
   }
 
+  /** Incremental registry enrichment as a stream: arriving parsed-registry
+    * datum rows (subj, pred, obj, obj_json) append to a gated enrichment LOG
+    * per microbatch — the same anti-join completeness gate as
+    * `KgEngine.enrichAll`, against the STORED canonical table, so only rows
+    * that can still fill a gap are ever logged. No state is rewritten per
+    * trigger; the log is append-only with exactly-once bookkeeping from the
+    * streaming checkpoint, and `compactEnrichment` reduces canon ∪ log
+    * through the associative lattice argmax + the offline extend tail. Ties
+    * between batches resolve to the EARLIEST batch (seq = batch id, negated
+    * by canonicalize — insert-first-wins, like the reference's merge).
+    */
+  def enrichLogStream(
+      spark: SparkSession,
+      canonDir: String,
+      registryStreamDir: String,
+      logDir: String,
+      checkpointDir: String,
+      supportedFields: Seq[String],
+      maxCertainty: Int
+  ): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("subj", StringType), StructField("pred", StringType),
+      StructField("obj", StringType), StructField("obj_json", StringType)))
+    val reg = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(registryStreamDir)
+    reg.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import org.apache.spark.sql.{functions => F}
+        val s = batch.sparkSession
+        val fieldList = supportedFields.map(x => x: Any)
+        val complete = s.read.parquet(canonDir)
+          .where(F.col("pred").isin(fieldList: _*) &&
+                 F.col("certainty") === graft.core.Certainty.Certain)
+          .groupBy("subj").agg(F.countDistinct("pred").as("n_certain"))
+          .where(F.col("n_certain") === supportedFields.size)
+          .select("subj")
+        batch.toDF()
+          .where(F.col("pred").isin(fieldList: _*))
+          .join(complete, Seq("subj"), "left_anti")
+          .select(
+            F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
+            F.lit(maxCertainty).as("certainty"),
+            F.lit("external-registry").as("origin"),
+            F.lit(1).as("guesser_rank"),
+            F.lit(batchId.toInt).as("seq"))
+          .write.mode("append").parquet(logDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** canon ∪ enrichment log → enriched canonical table: ONE lattice argmax
+    * then the offline extend tail (SF derivation + extrapolation fixpoint)
+    * on enriched subjects — associative, so any partition of the registry
+    * stream into microbatches compacts to exactly the one-shot
+    * `enrichAll(canon, registry)` result (asserted in KgJobSpec).
+    */
+  def compactEnrichment(
+      spark: SparkSession,
+      canonDir: String,
+      logDir: String
+  ): Dataset[Model.CanonTriple] = {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val existing = spark.read.parquet(canonDir).select(
+      F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
+      F.col("certainty"), F.col("origin"),
+      F.lit(0).as("guesser_rank"), F.lit(0).as("seq"))
+    val log = spark.read.parquet(logDir).select(
+      "subj", "pred", "obj", "obj_json",
+      "certainty", "origin", "guesser_rank", "seq")
+    val merged = KgEngine.canonicalize(
+      existing.unionByName(log).as[Model.RawTriple]).as[Model.CanonTriple]
+    KgEngine.extrapolatePost(merged, Seq("external-registry"))
+  }
+
   /** Cross-crawl re-canonicalization: the appended triple log holds one
     * observation per (subj, pred) per microbatch that saw the subject; a
     * recrawl appends fresh observations. Compaction reduces the log to one
