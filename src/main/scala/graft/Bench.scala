@@ -155,6 +155,22 @@ object ScalingBench {
           si.taskMetrics.jvmGCTime))
       }
     })
+    // stage-completion events are posted asynchronously (the listener bus is
+    // not publicly drainable): poll until the completed-stage set stops
+    // growing (two consecutive stable reads), bounded at ~3 s. Runs BEFORE
+    // the clear too — a warm-up stage's late event landing after clear()
+    // would inflate the measured cpuSum (the head-side twin of the tail-side
+    // under-count)
+    def quiesce(): Unit = {
+      var stable = 0
+      var last = -1
+      var waited = 0
+      while (stable < 2 && waited < 3000) {
+        Thread.sleep(100); waited += 100
+        val size = stages.size()
+        if (size == last) stable += 1 else { stable = 0; last = size }
+      }
+    }
     try {
       val pages = spark.read.parquet(ScalingBench.corpusPath(sfDir))
       def job() = sys.env.getOrElse("SPARK_GRAFT_MODE", "grouped") match {
@@ -168,21 +184,12 @@ object ScalingBench {
       // (SPARK_GRAFT_WARMUPS) for JIT parity with the single-executor config
       val warms = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "1").toInt
       (0 until warms).foreach(_ => job().count())
+      quiesce()
       stages.clear()
       val t0 = System.nanoTime()
       val n = job().count()
       val wall = (System.nanoTime() - t0) / 1e9
-      // stage-completion events are posted asynchronously (the listener bus
-      // is not publicly drainable): poll until the completed-stage set stops
-      // growing (two consecutive stable reads), bounded at ~3 s
-      var stable = 0
-      var last = -1
-      var waited = 0
-      while (stable < 2 && waited < 3000) {
-        Thread.sleep(100); waited += 100
-        val size = stages.size()
-        if (size == last) stable += 1 else { stable = 0; last = size }
-      }
+      quiesce()
       import scala.jdk.CollectionConverters._
       val snap = stages.asScala.toList
       if (profile) snap.foreach { case (id, nt, run, dur, gc) =>

@@ -345,8 +345,13 @@ object Summarize {
     * Repository, Repository-Browse, Download, whose value names a
     * SourceForge project derives `Archive: SourceForge` and
     * `SourceForge-Project` at min(Likely, field certainty), origin
-    * "derived from <field>"; then the loop breaks. The reference INSERTS
-    * (unconditional replace), bypassing the lattice — reproduced here.
+    * "derived from <field>"; then the loop breaks. The reference PUSHES a
+    * duplicate datum (`UpstreamMetadata::insert` is a Vec push, lib.rs:1211)
+    * bypassing the lattice; its observables then split — the YAML serializer
+    * builds a Mapping where the LAST (derived) datum wins (lib.rs:1518-1532)
+    * while `get()` reads the first — and no downstream consumer reads
+    * Archive/SourceForge-Project via get(). This engine's one-datum-per-field
+    * model therefore keeps the YAML-observable: replace.
     */
   def extendSfArchive(md: ArrayBuffer[Datum]): Unit = {
     val fields = List("Homepage", "Bug-Database", "Bug-Submit",

@@ -445,40 +445,55 @@ object KgEngine {
     */
   def enrichFromRegistry(
       canon: Dataset[CanonTriple],
-      registry: DataFrame,            // (subj, pred, obj) external directory
+      registry: DataFrame,            // (subj, pred, obj[, obj_json])
       supportedFields: Seq[String],
       maxCertainty: Int
   ): Dataset[CanonTriple] = {
     import canon.sparkSession.implicits._
     val cd = canon.toDF()
+    val existingRaw = cd.select(
+      F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
+      F.col("certainty"), F.col("origin"),
+      F.lit(0).as("guesser_rank"), F.lit(0).as("seq"))
+    canonicalize(existingRaw
+        .unionByName(gatedRegistryRaw(cd, registry, supportedFields, maxCertainty))
+        .as[RawTriple])
+      .as[CanonTriple]
+  }
+
+  /** The completeness gate + registry projection shared by
+    * `enrichFromRegistry`, `enrichAll`, and `KgStreaming.enrichLogStream` —
+    * ONE definition, so batch and streamed enrichment can never fork
+    * semantics: registry rows survive only for subjects where some supported
+    * field is still below Certain (the anti-join that keeps the work
+    * proportional to the incomplete subjects); structured payloads keep
+    * their obj_json when the registry table carries the column.
+    */
+  private[spark] def gatedRegistryRaw(
+      cd: DataFrame,
+      registry: DataFrame,
+      supportedFields: Seq[String],
+      maxCertainty: Int,
+      seq: org.apache.spark.sql.Column = F.lit(0)
+  ): DataFrame = {
     val fieldList = supportedFields.map(x => x: Any)
-    // subjects that already hold every supported field at Certain
     val complete = cd
       .where(F.col("pred").isin(fieldList: _*) &&
              F.col("certainty") === Certainty.Certain)
       .groupBy("subj").agg(F.countDistinct("pred").as("n_certain"))
       .where(F.col("n_certain") === supportedFields.size)
       .select("subj")
-    val gated = registry
-      .where(F.col("pred").isin(fieldList: _*))
-      .join(complete, Seq("subj"), "left_anti")
-    // structured registry payloads (RegistryParsers emits typed UValues —
-    // person lists, keyword arrays) keep their obj_json through the
-    // distributed path when the registry table carries the column
     val regJson =
       if (registry.columns.contains("obj_json")) F.col("obj_json")
       else F.lit("")
-    val newRaw = gated.select(
-      F.col("subj"), F.col("pred"), F.col("obj"), regJson.as("obj_json"),
-      F.lit(maxCertainty).as("certainty"),
-      F.lit("external-registry").as("origin"),
-      F.lit(1).as("guesser_rank"), F.lit(0).as("seq"))
-    val existingRaw = cd.select(
-      F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
-      F.col("certainty"), F.col("origin"),
-      F.lit(0).as("guesser_rank"), F.lit(0).as("seq"))
-    canonicalize(existingRaw.unionByName(newRaw).as[RawTriple])
-      .as[CanonTriple]
+    registry
+      .where(F.col("pred").isin(fieldList: _*))
+      .join(complete, Seq("subj"), "left_anti")
+      .select(
+        F.col("subj"), F.col("pred"), F.col("obj"), regJson.as("obj_json"),
+        F.lit(maxCertainty).as("certainty"),
+        F.lit("external-registry").as("origin"),
+        F.lit(1).as("guesser_rank"), seq.as("seq"))
   }
 
   /** Homepage-scrape enrichment — extrapolation rule 14 in its crawl-scale
@@ -633,24 +648,7 @@ object KgEngine {
     val spark = canon.sparkSession
     import spark.implicits._
     val cd = canon.toDF()
-    val fieldList = supportedFields.map(x => x: Any)
-    val complete = cd
-      .where(F.col("pred").isin(fieldList: _*) &&
-             F.col("certainty") === Certainty.Certain)
-      .groupBy("subj").agg(F.countDistinct("pred").as("n_certain"))
-      .where(F.col("n_certain") === supportedFields.size)
-      .select("subj")
-    val regJson =
-      if (registry.columns.contains("obj_json")) F.col("obj_json")
-      else F.lit("")
-    val regRaw = registry
-      .where(F.col("pred").isin(fieldList: _*))
-      .join(complete, Seq("subj"), "left_anti")
-      .select(
-        F.col("subj"), F.col("pred"), F.col("obj"), regJson.as("obj_json"),
-        F.lit(maxCertainty).as("certainty"),
-        F.lit("external-registry").as("origin"),
-        F.lit(1).as("guesser_rank"), F.lit(0).as("seq"))
+    val regRaw = gatedRegistryRaw(cd, registry, supportedFields, maxCertainty)
     val scrapeRaw = scrapedDatums(spark, cd, fetched).select(
       F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
       F.lit(Certainty.Possible).as("certainty"),
@@ -673,18 +671,20 @@ object KgEngine {
     // tables shipped as broadcast maps, the same compact-table size class
     // the relational form already broadcasts. Groups with nothing enriched
     // and no probed url pass through as a plain iterator hand-off.
+    // the collapse of duplicate probe rows runs IN SPARK (same deterministic
+    // max_by as the relational form: 'valid' beats 'unverifiable' beats
+    // 'invalid'); only the one-row-per-url result — the compact table class
+    // the relational form broadcasts — ever reaches the driver
     val probeMap: Map[String, (String, String)] = probes
-      .select("url", "status", "canonical_url").collect()
-      .groupBy(_.getString(0))
-      .map { case (u, rs) =>
-        // same deterministic collapse as the relational form: max (status,
-        // canonical) — 'valid' beats 'unverifiable' beats 'invalid'
-        u -> rs.map(r => (r.getString(1), r.getString(2))).max
-      }
+      .groupBy("url")
+      .agg(F.max_by(F.struct("status", "canonical_url"),
+        F.struct("status", "canonical_url")).as("b"))
+      .select(F.col("url"), F.col("b.status"), F.col("b.canonical_url"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
     val shotMap: Map[String, Boolean] = screenshotProbes
-      .map(_.select("url", "live").collect()
-        .groupBy(_.getString(0))
-        .map { case (u, rs) => u -> rs.map(_.getBoolean(1)).max })
+      .map(_.groupBy("url").agg(F.max("live").as("live")).collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap)
       .getOrElse(Map.empty)
     val bProbes = spark.sparkContext.broadcast(probeMap)
     val bShots = spark.sparkContext.broadcast(shotMap)
@@ -824,20 +824,24 @@ object KgEngine {
     screenshotProbes match {
       case None => synced.as[CanonTriple]
       case Some(sp) =>
-        // only a Likely Screenshots LIST is re-verified; everything else
-        // passes through untouched
+        // only a Likely Screenshots LIST is re-verified; everything else —
+        // including a row whose obj_json fails to parse as a string array —
+        // passes through untouched, exactly like the pure twin's UStrings
+        // pattern match
+        val parsed = F.from_json(F.col("obj_json"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType))
         val isShot = F.col("pred") === "Screenshots" &&
           F.col("certainty") === Certainty.Likely &&
-          F.col("obj_json").startsWith("[")
+          F.col("obj_json").startsWith("[") && parsed.isNotNull
         // duplicate probe rows for one url collapse deterministically:
         // any `live` verdict beats a dead one (max over boolean)
         val spb = F.broadcast(sp.groupBy("url").agg(F.max("live").as("live")))
+        // posexplode_OUTER: an EMPTY list must keep its subject (one null
+        // row) — plain posexplode would silently delete the whole datum
         val exploded = synced.where(isShot)
           .select(F.col("subj"), F.col("pred"), F.col("origin"),
-            F.posexplode(F.from_json(F.col("obj_json"),
-                org.apache.spark.sql.types.ArrayType(
-                  org.apache.spark.sql.types.StringType)))
-              .as(Seq("pos", "u")))
+            F.posexplode_outer(parsed).as(Seq("pos", "u")))
         val reverified = exploded
           .join(spb, exploded("u") === spb("url"), "left")
           .groupBy("subj", "pred", "origin")
@@ -846,7 +850,10 @@ object KgEngine {
               F.array_sort(F.collect_list(F.when(F.col("live") === true,
                 F.struct(F.col("pos"), F.col("u"))))),
               x => x("u"))).as("obj_json"),
-            F.max(F.col("live").isNull.cast("int")).as("_inconclusive"))
+            // inconclusive = a REAL url with no probe verdict; the empty
+            // list's null placeholder row is vacuously conclusive
+            F.max((F.col("u").isNotNull && F.col("live").isNull).cast("int"))
+              .as("_inconclusive"))
           .select(F.col("subj"), F.col("pred"), F.lit("").as("obj"),
             F.col("obj_json"),
             F.when(F.col("_inconclusive") === 1, Certainty.Likely)

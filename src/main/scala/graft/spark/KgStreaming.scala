@@ -41,14 +41,18 @@ object KgStreaming {
 
   /** Incremental registry enrichment as a stream: arriving parsed-registry
     * datum rows (subj, pred, obj, obj_json) append to a gated enrichment LOG
-    * per microbatch — the same anti-join completeness gate as
-    * `KgEngine.enrichAll`, against the STORED canonical table, so only rows
+    * per microbatch — the SAME gate definition as `KgEngine.enrichAll`
+    * (`gatedRegistryRaw`), against the STORED canonical table, so only rows
     * that can still fill a gap are ever logged. No state is rewritten per
-    * trigger; the log is append-only with exactly-once bookkeeping from the
-    * streaming checkpoint, and `compactEnrichment` reduces canon ∪ log
-    * through the associative lattice argmax + the offline extend tail. Ties
-    * between batches resolve to the EARLIEST batch (seq = batch id, negated
-    * by canonicalize — insert-first-wins, like the reference's merge).
+    * trigger. Delivery is at-least-once (foreachBatch + blind parquet
+    * append: a batch retried after a successful write but before its
+    * checkpoint commit re-appends its rows); the result stays exact because
+    * a retried batch re-emits IDENTICAL rows and the compaction argmax
+    * dedups them — only the log carries the duplicates (a production sink
+    * would write per-batch-id paths or an Iceberg transaction for a clean
+    * log). Ties between batches resolve to the EARLIEST batch (seq = batch
+    * id, negated by canonicalize — insert-first-wins, like the reference's
+    * merge).
     */
   def enrichLogStream(
       spark: SparkSession,
@@ -71,22 +75,9 @@ object KgStreaming {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import org.apache.spark.sql.{functions => F}
         val s = batch.sparkSession
-        val fieldList = supportedFields.map(x => x: Any)
-        val complete = s.read.parquet(canonDir)
-          .where(F.col("pred").isin(fieldList: _*) &&
-                 F.col("certainty") === graft.core.Certainty.Certain)
-          .groupBy("subj").agg(F.countDistinct("pred").as("n_certain"))
-          .where(F.col("n_certain") === supportedFields.size)
-          .select("subj")
-        batch.toDF()
-          .where(F.col("pred").isin(fieldList: _*))
-          .join(complete, Seq("subj"), "left_anti")
-          .select(
-            F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
-            F.lit(maxCertainty).as("certainty"),
-            F.lit("external-registry").as("origin"),
-            F.lit(1).as("guesser_rank"),
-            F.lit(batchId.toInt).as("seq"))
+        KgEngine.gatedRegistryRaw(
+            s.read.parquet(canonDir), batch.toDF(),
+            supportedFields, maxCertainty, seq = F.lit(batchId.toInt))
           .write.mode("append").parquet(logDir)
       }
       .option("checkpointLocation", checkpointDir)
@@ -96,9 +87,15 @@ object KgStreaming {
 
   /** canon ∪ enrichment log → enriched canonical table: ONE lattice argmax
     * then the offline extend tail (SF derivation + extrapolation fixpoint)
-    * on enriched subjects — associative, so any partition of the registry
-    * stream into microbatches compacts to exactly the one-shot
-    * `enrichAll(canon, registry)` result (asserted in KgJobSpec).
+    * on enriched subjects. For a registry stream with at most one row per
+    * (subj, pred, certainty) — the normal registry-snapshot shape — any
+    * partition into microbatches compacts to exactly the one-shot
+    * `enrichAll(canon, registry)` result (asserted in KgJobSpec); when a
+    * stream DOES re-claim the same (subj, pred) at equal certainty across
+    * batches, the streamed form is still deterministic (earliest batch wins
+    * via seq) while one-shot enrichAll, which has no batch order, would
+    * need the caller to collapse such duplicates first. An absent or empty
+    * log compacts to the extrapolated canonical table unchanged.
     */
   def compactEnrichment(
       spark: SparkSession,
@@ -111,9 +108,18 @@ object KgStreaming {
       F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
       F.col("certainty"), F.col("origin"),
       F.lit(0).as("guesser_rank"), F.lit(0).as("seq"))
-    val log = spark.read.parquet(logDir).select(
-      "subj", "pred", "obj", "obj_json",
-      "certainty", "origin", "guesser_rank", "seq")
+    // a stream that never delivered a batch never created the log: compact
+    // to canon unchanged instead of failing schema inference on a missing
+    // directory
+    val logPath = new org.apache.hadoop.fs.Path(logDir)
+    val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasLog = fs.exists(logPath) &&
+      fs.listStatus(logPath).exists(_.getPath.getName.startsWith("part-"))
+    val log =
+      if (hasLog) spark.read.parquet(logDir).select(
+        "subj", "pred", "obj", "obj_json",
+        "certainty", "origin", "guesser_rank", "seq")
+      else existing.where(F.lit(false))
     val merged = KgEngine.canonicalize(
       existing.unionByName(log).as[Model.RawTriple]).as[Model.CanonTriple]
     KgEngine.extrapolatePost(merged, Seq("external-registry"))

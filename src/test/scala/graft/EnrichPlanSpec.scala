@@ -179,7 +179,12 @@ class EnrichPlanSpec extends AnyFunSuite {
     val canonRows = Seq(
       graft.spark.Model.CanonTriple("s1", "Screenshots", "", "[\"a\",\"b\",\"c\"]", 1, "o"),
       // a CERTAIN list is not re-verified — must pass through untouched
-      graft.spark.Model.CanonTriple("s2", "Screenshots", "", "[\"x\"]", 3, "o")
+      graft.spark.Model.CanonTriple("s2", "Screenshots", "", "[\"x\"]", 3, "o"),
+      // an EMPTY Likely list must survive (vacuously all-conclusive →
+      // Certain, like the pure twin) — not silently vanish in the explode
+      graft.spark.Model.CanonTriple("s3", "Screenshots", "", "[]", 1, "o"),
+      // unparseable obj_json is not a string list → untouched passthrough
+      graft.spark.Model.CanonTriple("s4", "Screenshots", "", "[oops", 1, "o")
     ).toDS()
     val emptyProbes = Seq.empty[(String, String, String)]
       .toDF("url", "status", "canonical_url")
@@ -188,7 +193,8 @@ class EnrichPlanSpec extends AnyFunSuite {
       .collect().sortBy(_.subj)
     // c unprobed → dropped AND the list demoted back to Likely
     assert(out.map(t => (t.subj, t.obj_json, t.certainty)).toList == List(
-      ("s1", "[\"a\"]", 1), ("s2", "[\"x\"]", 3)))
+      ("s1", "[\"a\"]", 1), ("s2", "[\"x\"]", 3),
+      ("s3", "[]", 3), ("s4", "[oops", 1)))
     val pureProbe = Map("a" -> true, "b" -> false)
     val pure = graft.pipeline.Checks.applyProbes(
       List(graft.core.Datum("Screenshots", graft.core.UStrings(List("a", "b", "c")),
