@@ -15,6 +15,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Empty side tables with the operator-contract schemas, for queries that
+    * exercise only part of the enrichment lifecycle.
+    */
+  private def emptyFetched(docs: DataFrame): DataFrame =
+    docs.where(F.lit(false)).select(F.lit("").as("url"), F.lit("").as("html"))
+
+  private def emptyProbes(docs: DataFrame): DataFrame =
+    docs.where(F.lit(false)).select(
+      F.lit("").as("url"), F.lit("").as("status"), F.lit("").as("canonical_url"))
+
   /** Shared input for the two entity-linking queries: term mentions harvested
     * from document text plus a small term→entity registry. ONE scan of the
     * corpus — terms explode per row and filter by containment — rather than
@@ -495,13 +505,9 @@ object SparkEntry {
         F.lit("Download").as("pred"),
         F.concat(F.lit("https://sourceforge.net/projects/proj"), F.col("doc_id"),
           F.lit("/files/latest")).as("obj"))
-      val emptyFetched = docs.where(F.lit(false)).select(
-        F.lit("").as("url"), F.lit("").as("html"))
-      val emptyProbes = docs.where(F.lit(false)).select(
-        F.lit("").as("url"), F.lit("").as("status"), F.lit("").as("canonical_url"))
       KgEngine.enrichAll(canon, registry,
           supportedFields = Seq("Download"), maxCertainty = 1,
-          fetched = emptyFetched, probes = emptyProbes).toDF()
+          fetched = emptyFetched(docs), probes = emptyProbes(docs)).toDF()
         .where(F.col("pred").isin("Archive", "SourceForge-Project"))
         .select("subj", "pred", "obj", "certainty")
         .orderBy("subj", "pred")
@@ -552,9 +558,7 @@ object SparkEntry {
         .select(img1.as("url"), (F.pmod(F.col("doc_id"), F.lit(5)) =!= 0).as("live"))
         .unionByName(docs.where(F.pmod(F.col("doc_id"), F.lit(2)) === 0)
           .select(img2.as("url"), F.lit(false).as("live")))
-      val emptyProbes = docs.where(F.lit(false)).select(
-        F.lit("").as("url"), F.lit("").as("status"), F.lit("").as("canonical_url"))
-      KgEngine.applyUrlProbes(canon, emptyProbes, Some(shotProbes)).toDF()
+      KgEngine.applyUrlProbes(canon, emptyProbes(docs), Some(shotProbes)).toDF()
         .select("subj", "obj_json", "certainty")
         .orderBy("subj")
     }),

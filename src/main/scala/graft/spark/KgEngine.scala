@@ -451,11 +451,7 @@ object KgEngine {
   ): Dataset[CanonTriple] = {
     import canon.sparkSession.implicits._
     val cd = canon.toDF()
-    val existingRaw = cd.select(
-      F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
-      F.col("certainty"), F.col("origin"),
-      F.lit(0).as("guesser_rank"), F.lit(0).as("seq"))
-    canonicalize(existingRaw
+    canonicalize(canonAsRaw(cd)
         .unionByName(gatedRegistryRaw(cd, registry, supportedFields, maxCertainty))
         .as[RawTriple])
       .as[CanonTriple]
@@ -541,18 +537,21 @@ object KgEngine {
     val spark = canon.sparkSession
     import spark.implicits._
     val cd = canon.toDF()
-    val scraped = scrapedDatums(spark, cd, fetched)
-    val newRaw = scraped.select(
+    canonicalize(canonAsRaw(cd)
+        .unionByName(scrapeAsRaw(scrapedDatums(spark, cd, fetched), rank = 1))
+        .as[RawTriple])
+      .as[CanonTriple]
+  }
+
+  /** Scraped homepage datums as a raw stream: Possible certainty, the given
+    * tie rank, document-order seq.
+    */
+  private def scrapeAsRaw(scraped: DataFrame, rank: Int): DataFrame =
+    scraped.select(
       F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
       F.lit(Certainty.Possible).as("certainty"),
       F.lit("homepage-scrape").as("origin"),
-      F.lit(1).as("guesser_rank"), F.col("seq"))
-    val existingRaw = cd.select(
-      F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
-      F.col("certainty"), F.col("origin"),
-      F.lit(0).as("guesser_rank"), F.lit(0).as("seq"))
-    canonicalize(existingRaw.unionByName(newRaw).as[RawTriple]).as[CanonTriple]
-  }
+      F.lit(rank).as("guesser_rank"), F.col("seq"))
 
   /** Post-enrichment extrapolation — the reference lifecycle runs the
     * extrapolation fixpoint AFTER external enrichment
@@ -589,6 +588,31 @@ object KgEngine {
       d.certainty.getOrElse(-1), d.origin.getOrElse(""))
   }
 
+  /** The offline extend tail over one subject's canonical rows, in lifecycle
+    * order: the SF-archive head (lib.rs:3521-3554) sees enrichment-gained
+    * URL fields before the extrapolation fixpoint. ONE definition shared by
+    * `extrapolatePost` and `enrichAll`'s fused pass, so the two can never
+    * drift.
+    */
+  private def extendTail(
+      rows: Array[CanonTriple]
+  ): scala.collection.mutable.ArrayBuffer[graft.core.Datum] = {
+    val md = scala.collection.mutable.ArrayBuffer.from(
+      rows.map(tripleToDatum).sortBy(_.field))
+    Summarize.extendSfArchive(md)
+    Summarize.extrapolate(md)
+    md
+  }
+
+  /** The canonical table re-expressed as a raw stream (rank 0, seq 0 — the
+    * existing data that wins every tie against enrichment streams).
+    */
+  private[spark] def canonAsRaw(cd: DataFrame): DataFrame =
+    cd.select(
+      F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
+      F.col("certainty"), F.col("origin"),
+      F.lit(0).as("guesser_rank"), F.lit(0).as("seq"))
+
   def extrapolatePost(
       canon: Dataset[CanonTriple],
       enrichedOrigins: Seq[String]
@@ -598,16 +622,7 @@ object KgEngine {
     canon.groupByKey(_.subj).flatMapGroups { (subj, it) =>
       val rows = it.toArray
       if (!rows.exists(r => origins.contains(r.origin))) rows.iterator
-      else {
-        val md = scala.collection.mutable.ArrayBuffer.from(
-          rows.map(tripleToDatum).sortBy(_.field))
-        // the full offline extend tail, in lifecycle order: the SF-archive
-        // head (lib.rs:3521-3554) sees enrichment-gained URL fields before
-        // the fixpoint — identical to enrichAll's fused pass
-        Summarize.extendSfArchive(md)
-        Summarize.extrapolate(md)
-        md.sortBy(_.field).iterator.map(datumToTriple(subj))
-      }
+      else extendTail(rows).sortBy(_.field).iterator.map(datumToTriple(subj))
     }
   }
 
@@ -649,17 +664,9 @@ object KgEngine {
     import spark.implicits._
     val cd = canon.toDF()
     val regRaw = gatedRegistryRaw(cd, registry, supportedFields, maxCertainty)
-    val scrapeRaw = scrapedDatums(spark, cd, fetched).select(
-      F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
-      F.lit(Certainty.Possible).as("certainty"),
-      F.lit("homepage-scrape").as("origin"),
-      F.lit(2).as("guesser_rank"), F.col("seq"))
-    val existingRaw = cd.select(
-      F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
-      F.col("certainty"), F.col("origin"),
-      F.lit(0).as("guesser_rank"), F.lit(0).as("seq"))
+    val scrapeRaw = scrapeAsRaw(scrapedDatums(spark, cd, fetched), rank = 2)
     val merged = canonicalize(
-      existingRaw.unionByName(regRaw).unionByName(scrapeRaw).as[RawTriple])
+      canonAsRaw(cd).unionByName(regRaw).unionByName(scrapeRaw).as[RawTriple])
       .as[CanonTriple]
     if (!extrapolateEnriched)
       return applyUrlProbes(merged, probes, screenshotProbes)
@@ -699,14 +706,10 @@ object KgEngine {
           r.pred == "Screenshots" && r.certainty == Certainty.Likely))
       if (!enriched && !probed) rows.iterator
       else {
-        val md = scala.collection.mutable.ArrayBuffer.from(
-          rows.map(tripleToDatum).sortBy(_.field))
-        if (enriched) {
-          // extend-stage order (lib.rs:3521-3554 then :3695): the SF-archive
-          // derivation sees enrichment-gained URL fields before the fixpoint
-          Summarize.extendSfArchive(md)
-          Summarize.extrapolate(md)
-        }
+        val md =
+          if (enriched) extendTail(rows) // extend → extrapolate, shared defn
+          else scala.collection.mutable.ArrayBuffer.from(
+            rows.map(tripleToDatum).sortBy(_.field))
         // extrapolation can derive new urls that the probe fleet covered, so
         // the check runs whenever any probe data exists for this batch
         val checkedMd =

@@ -61,7 +61,8 @@ object KgStreaming {
       logDir: String,
       checkpointDir: String,
       supportedFields: Seq[String],
-      maxCertainty: Int
+      maxCertainty: Int,
+      maxFilesPerTrigger: Int = 1
   ): StreamingQuery = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -69,7 +70,7 @@ object KgStreaming {
       StructField("obj", StringType), StructField("obj_json", StringType)))
     val reg = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(registryStreamDir)
     reg.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
