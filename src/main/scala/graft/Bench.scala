@@ -70,8 +70,16 @@ object Bench {
     val qs = results.toList.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pages_per_sec":$pagesPerSec%.1f}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pages_per_sec":$pagesPerSec%.1f}"""
+    println(line)
+    // the stdout line drowns in sbt log noise, so the driver's BENCH artifact
+    // has carried parsed=null every round — also write it to a file the
+    // harness (or a human) can read directly
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
     spark.stop()
   }
 }

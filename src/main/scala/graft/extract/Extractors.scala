@@ -983,12 +983,19 @@ object Extractors {
     Right(out.result())
   }
 
-  // ---------- meson.build (offline regex form; reference shells out to
-  //            meson introspect, src/providers/meson.rs — which fails
-  //            offline, so emitting nothing is also faithful; we keep the
-  //            regex variant for usefulness on project() declarations) ----
+  // ---------- meson.build (src/providers/meson.rs:6-48) ----------
 
-  def mesonBuild(origin: String, content: String): Result = Right(Nil)
+  /** The reference does NOT parse meson.build itself: it shells out to
+    * `meson introspect --projectinfo` and, when meson is not installed
+    * (every offline/container run, including this sandbox), returns
+    * `ProviderError::Other("meson not installed; ...")` (meson.rs:15-19).
+    * The faithful offline behavior is therefore an ERROR — logged and
+    * dropped from the datum stream by the caller, but visible on the
+    * per-subject error channel (lib.rs:3905-3913) that the lineage table
+    * records. No regex fallback exists in the reference.
+    */
+  def mesonBuild(origin: String, content: String): Result =
+    Left("meson not installed; skipping meson.build introspection")
 
   // ---------- pubspec.yaml (src/providers/pubspec.rs) ----------
 

@@ -43,12 +43,35 @@ object Checks {
 
   /** Applies probe outcomes to canonical metadata. `probe(field, url)` is
     * the outcome table lookup (default Unverifiable = leave untouched);
-    * `screenshotProbe(url)` mirrors verify_screenshots' tri-state.
+    * `screenshotProbe(url)` mirrors verify_screenshots' tri-state. NOTE:
+    * passing a screenshotProbe means screenshot probing RAN — a lookup
+    * returning None is an inconclusive probe (url dropped, list demoted to
+    * Likely, lib.rs:4137-4150). When no screenshot fleet ran at all, use
+    * `applyProbesNoScreenshots`, which leaves Screenshots lists untouched —
+    * conflating "no fleet" with "all probes inconclusive" silently empties
+    * every Likely list.
     */
   def applyProbes(
       metadata: List[Datum],
       probe: (String, String) => Outcome,
       screenshotProbe: String => Option[Boolean] = _ => None
+  ): List[Datum] =
+    applyProbesImpl(metadata, probe, Some(screenshotProbe))
+
+  /** URL-field checks only — for batches where no screenshot probe fleet
+    * ran (Screenshots datums pass through untouched, like the relational
+    * `applyUrlProbes` with `screenshotProbes = None`).
+    */
+  def applyProbesNoScreenshots(
+      metadata: List[Datum],
+      probe: (String, String) => Outcome
+  ): List[Datum] =
+    applyProbesImpl(metadata, probe, None)
+
+  private def applyProbesImpl(
+      metadata: List[Datum],
+      probe: (String, String) => Outcome,
+      screenshotProbe: Option[String => Option[Boolean]]
   ): List[Datum] = {
     val md = ArrayBuffer.from(metadata)
 
@@ -91,22 +114,25 @@ object Checks {
       }
     }
 
-    // Screenshots: only a Likely list is re-verified
-    val si = idx("Screenshots")
-    if (si >= 0 && md(si).certainty.contains(Certainty.Likely)) {
-      md(si).value match {
-        case UStrings(urls) =>
-          // only live URLs survive; an inconclusive probe also drops its URL
-          // but demotes the whole list back to Likely (lib.rs:4137-4150)
-          var cert = Certainty.Certain
-          val kept = urls.filter { u =>
-            screenshotProbe(u) match {
-              case Some(ok) => ok
-              case None     => cert = Certainty.Likely; false
+    // Screenshots: only a Likely list is re-verified, and only when a
+    // screenshot probe fleet actually ran
+    for (shotProbe <- screenshotProbe) {
+      val si = idx("Screenshots")
+      if (si >= 0 && md(si).certainty.contains(Certainty.Likely)) {
+        md(si).value match {
+          case UStrings(urls) =>
+            // only live URLs survive; an inconclusive probe also drops its
+            // URL but demotes the whole list back to Likely (lib.rs:4137-4150)
+            var cert = Certainty.Certain
+            val kept = urls.filter { u =>
+              shotProbe(u) match {
+                case Some(ok) => ok
+                case None     => cert = Certainty.Likely; false
+              }
             }
-          }
-          md(si) = md(si).copy(value = UStrings(kept), certainty = Some(cert))
-        case _ => ()
+            md(si) = md(si).copy(value = UStrings(kept), certainty = Some(cert))
+          case _ => ()
+        }
       }
     }
 

@@ -130,35 +130,40 @@ object KgEngine {
     * so the rule is this engine's own, applied identically in every variant.
     * The hash is only computed on an actual timestamp collision.
     */
+  /** Mutable per-relpath best capture. A small class (not a tuple) so the
+    * timestamp stays an unboxed primitive field and the winner updates in
+    * place — the boxed (Long, String)-valued map variant measured ~12%
+    * extra reduce-stage CPU at 2.4M pages.
+    */
+  private final class BestCapture(var ts: Long, var text: String) {
+    var md5: String = null // computed lazily, only on a timestamp collision
+    def md5OrCompute(): String = {
+      if (md5 == null) md5 = md5Hex(text)
+      md5
+    }
+  }
+
   private def dedupCaptures(it: Iterator[(String, String, Long, String)])
       : scala.collection.Map[String, String] = {
-    // fast path first: recrawled duplicates are rare, so the common case
-    // must cost what the pre-dedup engine cost — one mutable map fill, no
-    // boxed timestamps, no second materialization (profiled: a boxed
-    // (Long, String)-valued variant added ~12% reduce-stage CPU at 2.4M
-    // pages). Groups are small (files of one subject), so materializing the
-    // row array is cheap.
-    val rows = it.toArray
-    val files = new scala.collection.mutable.HashMap[String, String]()
-    var dup = false
-    rows.foreach { r =>
-      if (files.contains(r._2)) dup = true else files(r._2) = r._4
-    }
-    if (!dup) return files
-    // slow path only when a relpath actually repeated: max (ts, md5) wins
-    val ts = new scala.collection.mutable.HashMap[String, Long]()
-    files.clear()
-    rows.foreach { case (_, relpath, t, text) =>
-      ts.get(relpath) match {
-        case None => files(relpath) = text; ts(relpath) = t
-        case Some(t0) =>
-          val text0 = files(relpath)
-          if (t > t0 || (t == t0 && text != text0 && md5Hex(text) > md5Hex(text0))) {
-            files(relpath) = text; ts(relpath) = t
+    // ONE incremental fold, never materializing the capture stream: task
+    // memory is O(distinct files), not O(captures) — a recrawl-heavy
+    // subject (one hot project recrawled 10^5×, the exact skew a real crawl
+    // has) streams through instead of inflating the group buffer. The
+    // no-duplicate common case costs one map fill, same as before the fold.
+    val best = new scala.collection.mutable.HashMap[String, BestCapture]()
+    it.foreach { case (_, relpath, t, text) =>
+      best.get(relpath) match {
+        case None => best(relpath) = new BestCapture(t, text)
+        case Some(b) =>
+          // max (warc_ts, md5(content)) wins, hashes only on a ts collision
+          if (t > b.ts) { b.ts = t; b.text = text; b.md5 = null }
+          else if (t == b.ts && text != b.text) {
+            val h = md5Hex(text)
+            if (h > b.md5OrCompute()) { b.text = text; b.md5 = h }
           }
       }
     }
-    files
+    best.map { case (relpath, b) => (relpath, b.text) }
   }
 
   /** pages → canonical triples: the flagship KG construction job. */
@@ -243,25 +248,31 @@ object KgEngine {
       }
       .groupByKey(_.subj)
       .flatMapGroups { (subj, it) =>
-        // pick the winning capture per relpath (max ts, then max content
-        // hash), then assemble from that capture's rows only
-        val rows = it.toArray
-        val winner = scala.collection.mutable.HashMap.empty[String, (Long, String)]
-        rows.foreach { row =>
-          val k = (row.ts, row.chash)
+        // incremental winner fold, never materializing the capture stream:
+        // per relpath keep the current winning capture key (max ts, then max
+        // content hash) and ONLY that capture's rows — a losing capture's
+        // rows are dropped as they stream past, so task memory is O(winner
+        // rows), not O(captures × guessers)
+        val winner = scala.collection.mutable.HashMap
+          .empty[String, (Long, String, scala.collection.mutable.ArrayBuffer[ExtractRow])]
+        it.foreach { row =>
           winner.get(row.relpath) match {
-            case None => winner(row.relpath) = k
-            case Some(k0) =>
-              if (row.ts > k0._1 || (row.ts == k0._1 && row.chash > k0._2))
-                winner(row.relpath) = k
+            case None =>
+              winner(row.relpath) =
+                (row.ts, row.chash, scala.collection.mutable.ArrayBuffer(row))
+            case Some((ts0, h0, buf)) =>
+              if (row.ts > ts0 || (row.ts == ts0 && row.chash > h0)) {
+                buf.clear(); buf += row
+                winner(row.relpath) = (row.ts, row.chash, buf)
+              } else if (row.ts == ts0 && row.chash == h0) buf += row
           }
         }
         val deferred = Map.newBuilder[String, String]
         val pre = Map.newBuilder[(String, String), List[graft.core.Datum]]
         val relpaths = Set.newBuilder[String]
-        rows.foreach { row =>
-          if (winner(row.relpath) == ((row.ts, row.chash))) {
-            relpaths += row.relpath
+        winner.foreach { case (relpath, (_, _, buf)) =>
+          relpaths += relpath
+          buf.foreach { row =>
             row.kind match {
               case "x" => deferred += (row.relpath -> row.payload)
               case "m" => ()
@@ -510,12 +521,11 @@ object KgEngine {
     */
   private def scrapedDatums(
       spark: SparkSession,
-      cd: DataFrame,
+      homepages: DataFrame,            // (subj, url)
       fetched: DataFrame
   ): DataFrame = {
     import spark.implicits._
-    cd.where(F.col("pred") === "Homepage")
-      .select(F.col("subj"), F.col("obj").as("url"))
+    homepages
       .join(fetched, Seq("url"))
       .select(F.col("subj"), F.col("url"), F.col("html"))
       .as[(String, String, String)]
@@ -537,8 +547,10 @@ object KgEngine {
     val spark = canon.sparkSession
     import spark.implicits._
     val cd = canon.toDF()
+    val homepages = cd.where(F.col("pred") === "Homepage")
+      .select(F.col("subj"), F.col("obj").as("url"))
     canonicalize(canonAsRaw(cd)
-        .unionByName(scrapeAsRaw(scrapedDatums(spark, cd, fetched), rank = 1))
+        .unionByName(scrapeAsRaw(scrapedDatums(spark, homepages, fetched), rank = 1))
         .as[RawTriple])
       .as[CanonTriple]
   }
@@ -637,18 +649,32 @@ object KgEngine {
     * scrape 2) — the same tie order the staged chain produces, so the two
     * forms are result-identical.
     *
-    * The scrape side joins the EXISTING canonical homepages: a homepage first
-    * learned from the registry in this same batch is scraped on the next
-    * incremental run — the price of the single exchange (the staged
-    * `enrichFromHomepages` remains available when same-batch scraping
-    * matters more than the shuffle count).
+    * The scrape side joins the POST-REGISTRY-MERGE canonical homepage per
+    * subject (existing rows vs gated registry rows through the same lattice
+    * tie rules, as a subj-only argmax on the tiny Homepage subset) — a
+    * homepage first learned from the registry in this batch is scraped in
+    * this SAME batch, exactly like the staged chain, without re-aggregating
+    * the full stream.
     *
-    * The `canon` input is referenced three times (existing stream, homepage
-    * side, completeness gate). In production that input is a STORED triple
-    * table (KgJob's output), so each reference is a pruned parquet scan; if
-    * you pass a live extraction pipeline instead, persist it first or accept
-    * re-execution — the one full-width exchange guarantee below is about the
-    * enrichment itself, not the caller's upstream.
+    * Probe verdicts never touch the driver: the collapsed probe/screenshot
+    * tables JOIN (on url) against the candidate-url set of each subject —
+    * its checked-field objs, the per-datum extrapolation closure of every
+    * url-typed obj (all url-producing extrapolation rules are single-source,
+    * so the union of per-datum closures covers every url the in-group
+    * fixpoint can derive; over-approximation only adds carriers that are
+    * never looked up), and the members of Likely Screenshots lists — and the
+    * matches ride the ONE subject exchange as marker rows consumed by the
+    * group pass. A probe fleet covering 10^9 urls stays distributed end to
+    * end; the per-subject carrier count is bounded by the subject's own url
+    * count. The candidate side re-reads `merged` (its lattice exchange is
+    * reused — only the final argmax re-runs over the checked-pred subset).
+    *
+    * The `canon` input is referenced multiple times (existing stream,
+    * homepage side, completeness gate). In production that input is a STORED
+    * triple table (KgJob's output), so each reference is a pruned parquet
+    * scan; if you pass a live extraction pipeline instead, persist it first
+    * or accept re-execution — the one full-width exchange guarantee is about
+    * the enrichment itself, not the caller's upstream.
     */
   def enrichAll(
       canon: Dataset[CanonTriple],
@@ -664,7 +690,18 @@ object KgEngine {
     import spark.implicits._
     val cd = canon.toDF()
     val regRaw = gatedRegistryRaw(cd, registry, supportedFields, maxCertainty)
-    val scrapeRaw = scrapeAsRaw(scrapedDatums(spark, cd, fetched), rank = 2)
+    // same-batch scrape source: the homepage the staged chain would scrape
+    // is the post-registry-merge winner. Single-pred argmax → groupBy(subj)
+    // only, so the full-stream union exchange below stays the unique
+    // (subj, pred) lattice shuffle.
+    val hpRaw = canonAsRaw(cd).where(F.col("pred") === "Homepage")
+      .unionByName(regRaw.where(F.col("pred") === "Homepage"))
+    val homepages = hpRaw.groupBy("subj")
+      .agg(F.max_by(F.col("obj"), F.struct(
+        F.col("certainty"),
+        F.negate(F.col("guesser_rank")),
+        F.negate(F.col("seq")))).as("url"))
+    val scrapeRaw = scrapeAsRaw(scrapedDatums(spark, homepages, fetched), rank = 2)
     val merged = canonicalize(
       canonAsRaw(cd).unionByName(regRaw).unionByName(scrapeRaw).as[RawTriple])
       .as[CanonTriple]
@@ -674,60 +711,123 @@ object KgEngine {
     // table: the relational applyUrlProbes' browse-sync branch consumes its
     // input twice (per-branch pruning then re-executes the canonicalize), so
     // the checked path here runs the PURE Checks.applyProbes in-group — full
-    // reference parity (browse sync, Screenshots tri-state) with the probe
-    // tables shipped as broadcast maps, the same compact-table size class
-    // the relational form already broadcasts. Groups with nothing enriched
-    // and no probed url pass through as a plain iterator hand-off.
-    // the collapse of duplicate probe rows runs IN SPARK (same deterministic
-    // max_by as the relational form: 'valid' beats 'unverifiable' beats
-    // 'invalid'); only the one-row-per-url result — the compact table class
-    // the relational form broadcasts — ever reaches the driver
-    val probeMap: Map[String, (String, String)] = probes
-      .groupBy("url")
-      .agg(F.max_by(F.struct("status", "canonical_url"),
-        F.struct("status", "canonical_url")).as("b"))
-      .select(F.col("url"), F.col("b.status"), F.col("b.canonical_url"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
-    val shotMap: Map[String, Boolean] = screenshotProbes
-      .map(_.groupBy("url").agg(F.max("live").as("live")).collect()
-        .map(r => r.getString(0) -> r.getBoolean(1)).toMap)
-      .getOrElse(Map.empty)
-    val bProbes = spark.sparkContext.broadcast(probeMap)
-    val bShots = spark.sparkContext.broadcast(shotMap)
+    // reference parity (browse sync, Screenshots tri-state). Probe verdicts
+    // arrive as carrier rows (see Scaladoc); groups with nothing enriched
+    // and no carried verdict pass through as a plain iterator hand-off.
+    val probes1 = collapseProbes(probes)
+    val shots1 = screenshotProbes.map(collapseShots)
+    val haveShots = screenshotProbes.isDefined
+    val cands = merged.flatMap(probeCandidateUrls).toDF("subj", "url")
+    val pCarrier = cands.join(probes1, Seq("url"))
+      .select(F.col("subj"), F.lit(ProbeCarrierPred).as("pred"),
+        F.col("url").as("obj"), F.col("canonical_url").as("obj_json"),
+        F.lit(-1).as("certainty"), F.col("status").as("origin"))
+    val sCarrier = shots1.map(s1 => cands.join(s1, Seq("url"))
+      .select(F.col("subj"), F.lit(ShotCarrierPred).as("pred"),
+        F.col("url").as("obj"), F.lit("").as("obj_json"),
+        F.col("live").cast("int").as("certainty"), F.lit("").as("origin")))
+    val withCarriers = sCarrier
+      .foldLeft(merged.toDF().unionByName(pCarrier))(_.unionByName(_))
+      .as[CanonTriple]
     val origins = Set("external-registry", "homepage-scrape")
-    merged.groupByKey(_.subj).flatMapGroups { (subj, it) =>
-      val rows = it.toArray
-      val pm = bProbes.value
-      val sm = bShots.value
+    withCarriers.groupByKey(_.subj).flatMapGroups { (subj, it) =>
+      val all = it.toArray
+      val (carriers, rows) =
+        if (all.exists(r => r.pred.nonEmpty && r.pred.charAt(0) == CarrierMark))
+          all.partition(r => r.pred.nonEmpty && r.pred.charAt(0) == CarrierMark)
+        else (Array.empty[CanonTriple], all)
       val enriched = rows.exists(r => origins.contains(r.origin))
-      val probed = rows.exists(r => pm.contains(r.obj)) ||
-        (sm.nonEmpty && rows.exists(r =>
+      // a Likely Screenshots list is re-verified whenever a screenshot fleet
+      // ran AT ALL — an entirely-unprobed list still demotes (tri-state)
+      val probed = carriers.nonEmpty ||
+        (haveShots && rows.exists(r =>
           r.pred == "Screenshots" && r.certainty == Certainty.Likely))
       if (!enriched && !probed) rows.iterator
       else {
+        val pm: Map[String, (String, String)] = carriers.iterator
+          .filter(_.pred == ProbeCarrierPred)
+          .map(c => c.obj -> (c.origin, c.obj_json)).toMap
+        val sm: Map[String, Boolean] = carriers.iterator
+          .filter(_.pred == ShotCarrierPred)
+          .map(c => c.obj -> (c.certainty == 1)).toMap
         val md =
           if (enriched) extendTail(rows) // extend → extrapolate, shared defn
           else scala.collection.mutable.ArrayBuffer.from(
             rows.map(tripleToDatum).sortBy(_.field))
-        // extrapolation can derive new urls that the probe fleet covered, so
-        // the check runs whenever any probe data exists for this batch
         val checkedMd =
-          if (pm.nonEmpty || sm.nonEmpty)
-            graft.pipeline.Checks.applyProbes(
-              md.toList,
+          if (probed) {
+            val lookup: (String, String) => graft.pipeline.Checks.Outcome =
               (_, url) => pm.get(url) match {
                 case Some(("valid", canonical)) =>
                   graft.pipeline.Checks.Valid(canonical)
                 case Some(("invalid", _)) => graft.pipeline.Checks.Invalid
                 case _ => graft.pipeline.Checks.Unverifiable
-              },
-              url => sm.get(url))
-          else md.toList
+              }
+            if (haveShots)
+              graft.pipeline.Checks.applyProbes(md.toList, lookup, url => sm.get(url))
+            else
+              // no screenshot fleet ran: Screenshots lists stay untouched —
+              // treating "no fleet" as "all inconclusive" would empty every
+              // Likely list (matches applyUrlProbes with screenshotProbes
+              // = None)
+              graft.pipeline.Checks.applyProbesNoScreenshots(md.toList, lookup)
+          } else md.toList
         checkedMd.sortBy(_.field).iterator.map(datumToTriple(subj))
       }
     }
   }
+
+  // carrier rows ride the subject exchange next to real triples; the
+  // leading-space prefix cannot collide with a real predicate (field names
+  // are drawn from the reference's fixed vocabulary, none space-prefixed)
+  private val CarrierMark: Char = ' '
+  private[spark] val ProbeCarrierPred: String = " probe"
+  private[spark] val ShotCarrierPred: String = " shot"
+
+  private val checkedFields: Set[String] = Set(
+    "Repository", "Homepage", "Repository-Browse", "Bug-Database", "Bug-Submit")
+
+  /** Every url the in-group check could look up for this row's subject: the
+    * obj itself (checked fields), the checked-field values of the row's OWN
+    * extend-tail closure (covers urls first derived by the in-group
+    * fixpoint — each url-producing rule is single-source, so chaining from
+    * one datum reproduces every reachable value), and the members of a
+    * Likely Screenshots list.
+    */
+  private[spark] def probeCandidateUrls(t: CanonTriple): Iterator[(String, String)] =
+    if (t.pred == "Screenshots") {
+      if (t.certainty != Certainty.Likely) Iterator.empty
+      else valueFromForms(t.obj, t.obj_json) match {
+        case graft.core.UStrings(us) => us.iterator.map(u => (t.subj, u))
+        case _                       => Iterator.empty
+      }
+    } else if (Fields.urlTyped.contains(t.pred)) {
+      extendTail(Array(t)).iterator
+        .filter(d => checkedFields.contains(d.field))
+        .flatMap(_.str).distinct
+        .map(u => (t.subj, u))
+    } else Iterator.empty
+
+  /** One row per url, deterministically: the lexicographically largest
+    * (status, canonical) wins — 'valid' beats 'unverifiable' beats
+    * 'invalid', so a url that ever probed valid stays valid. (A probe table
+    * SHOULD be unique per url, but a retrying probe fleet can emit
+    * conflicting rows; joining them raw would duplicate triples.)
+    */
+  private[spark] def collapseProbes(probes: DataFrame): DataFrame =
+    probes.groupBy("url")
+      .agg(F.max_by(F.struct("status", "canonical_url"),
+        F.struct("status", "canonical_url")).as("b"))
+      .select(F.col("url"), F.col("b.status").as("status"),
+        F.col("b.canonical_url").as("canonical_url"))
+
+  /** One verdict per screenshot url: any live verdict beats a dead one; a
+    * NULL live value is no verdict at all (the url stays unprobed rather
+    * than crashing the aggregate or reading as dead).
+    */
+  private[spark] def collapseShots(sp: DataFrame): DataFrame =
+    sp.where(F.col("live").isNotNull)
+      .groupBy("url").agg(F.max("live").as("live"))
 
   /** URL-probe promotion in its relational form — the per-field rules of
     * `check_upstream_metadata` (/root/reference/src/lib.rs:3991-4156) joined
@@ -766,16 +866,7 @@ object KgEngine {
     val checked = Seq("Repository", "Homepage", "Repository-Browse",
       "Bug-Database", "Bug-Submit")
     val cd = canon.toDF()
-    // a probe table SHOULD be unique per url, but a retrying probe fleet can
-    // emit conflicting rows; joining them would duplicate triples. Collapse
-    // deterministically: the lexicographically largest (status, canonical)
-    // wins — 'valid' beats 'unverifiable' beats 'invalid', so a url that
-    // ever probed valid stays valid
-    val probes1 = probes.groupBy("url")
-      .agg(F.max_by(F.struct("status", "canonical_url"),
-        F.struct("status", "canonical_url")).as("b"))
-      .select(F.col("url"), F.col("b.status").as("status"),
-        F.col("b.canonical_url").as("canonical_url"))
+    val probes1 = collapseProbes(probes)
     val p = F.broadcast(probes1) // probe fleets emit compact tables; a big
                                  // one would shuffle-join on url instead
     // pre-replacement rows (original obj kept — the sync comparison below
@@ -790,19 +881,16 @@ object KgEngine {
         F.col("status"), F.col("canonical_url"))
     // browse-certainty sync source: derive the browse URL only on the
     // valid-Repository subset (tiny), carrying the repository's
-    // POST-promotion certainty, and broadcast it back
-    val browseOf = F.udf((repo: String) =>
-      graft.urls.UrlLite.parse(repo)
-        .flatMap(u => graft.urls.Vcs.browseUrlFromRepoUrl(
-          graft.urls.Vcs.VcsLocation(u, None, None)))
-        .map(_.toString).getOrElse(""))
+    // POST-promotion certainty, and broadcast it back. The derivation is a
+    // native expression (graft.functions.BrowseUrlFromRepo), not a ScalaUDF.
+    graft.functions.BrowseUrlFromRepo.register(canon.sparkSession)
     val sync = joined
       .where(F.col("pred") === "Repository" && F.col("status") === "valid")
       .select(F.col("subj"),
-        browseOf(F.col("canonical_url")).as("_derived"),
+        F.expr("browse_url_from_repo(canonical_url)").as("_derived"),
         F.when(F.col("certainty") === Certainty.Confident, Certainty.Certain)
           .otherwise(F.col("certainty")).as("_repo_cert"))
-      .where(F.col("_derived") =!= "")
+      .where(F.col("_derived").isNotNull)
     // reference order per row: (1) sync the browse certainty, (2) apply the
     // row's own probe — canonical replacement + promotion over the SYNCED
     // certainty (lib.rs:4007-4023 runs before the per-field loop :4039-4128)
@@ -834,12 +922,18 @@ object KgEngine {
         val parsed = F.from_json(F.col("obj_json"),
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.StringType))
-        val isShot = F.col("pred") === "Screenshots" &&
+        // coalesce: a NULL obj_json (e.g. triples read back from externally
+        // written parquet with a nullable column) must make the predicate
+        // FALSE, not SQL NULL — a null predicate fails both where(isShot)
+        // and where(!isShot) and would silently delete the row
+        val isShot = F.coalesce(
+          F.col("pred") === "Screenshots" &&
           F.col("certainty") === Certainty.Likely &&
-          F.col("obj_json").startsWith("[") && parsed.isNotNull
+          F.col("obj_json").startsWith("[") && parsed.isNotNull,
+          F.lit(false))
         // duplicate probe rows for one url collapse deterministically:
         // any `live` verdict beats a dead one (max over boolean)
-        val spb = F.broadcast(sp.groupBy("url").agg(F.max("live").as("live")))
+        val spb = F.broadcast(collapseShots(sp))
         // posexplode_OUTER: an EMPTY list must keep its subject (one null
         // row) — plain posexplode would silently delete the whole datum
         val exploded = synced.where(isShot)
