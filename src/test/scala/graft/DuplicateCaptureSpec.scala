@@ -81,6 +81,36 @@ class DuplicateCaptureSpec extends AnyFunSuite {
     assert(n1.head == expected)
   }
 
+  test("recrawl-heavy subject: many captures of one file collapse to the winner") {
+    import spark.implicits._
+    // one hot subject recrawled 1500× (the skew a real crawl has): the
+    // incremental fold must pick the same winner as the 2-capture base case;
+    // task memory is O(distinct files), so this must also simply complete
+    val base = "2026-01-01 00:00:00"
+    val many = (0 until 1500).map { i =>
+      ("https://replay.invalid/projHot/Cargo.toml",
+       s"[package]\nname = \"rev$i\"\nversion = \"0.$i.0\"\n", i % 977)
+    }
+    val pages = many.toDF("url", "text", "off")
+      .withColumn("warc_ts", F.timestamp_seconds(
+        F.unix_timestamp(F.to_timestamp(F.lit(base))) + F.col("off")))
+      .withColumn("html", F.col("text").cast("binary"))
+      .withColumn("lang", F.lit("en"))
+      .select("url", "warc_ts", "html", "text", "lang")
+    // winner by the engine's rule: max ts, md5 tie-break among off == 976
+    val atMax = many.filter(_._3 == 976)
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = atMax.maxBy(r => m(r._2))._2
+    val expectedName = "rev" + expected.split("rev")(1).split("\"")(0)
+    val grouped = KgEngine.extractCanonical(spark, pages).collect()
+      .filter(_.pred == "Name").map(_.obj).toList
+    val pre = KgEngine.extractCanonicalPreExtract(spark, pages).collect()
+      .filter(_.pred == "Name").map(_.obj).toList
+    assert(grouped == List(expectedName))
+    assert(pre == grouped)
+  }
+
   test("single-exchange sink: render runs inside the extraction group") {
     val pages = SynthPages.fromDocuments(docs.where("doc_id < 32"))
     val sink = KgEngine.extractAndRender(spark, pages, graft.pipeline.Sinks.toYaml)

@@ -115,6 +115,124 @@ class EnrichPlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("enrichAll never materializes the probe tables on the driver") {
+    import spark.implicits._
+    // a probe table whose evaluation THROWS: constructing the enrichment
+    // plan must not touch it (the old fused pass collected the probes to
+    // build broadcast maps — a driver bottleneck proportional to the probe
+    // fleet's url coverage); only executing the plan may fail
+    val bomb = F.udf { () =>
+      throw new RuntimeException("probe table must stay lazy"); "x"
+    }
+    val probes = docs.select(bomb().as("url"),
+      F.lit("valid").as("status"), bomb().as("canonical_url"))
+    val shots = docs.select(bomb().as("url"), F.lit(true).as("live"))
+    val registry = docs.select(
+      F.concat(F.lit("https://replay.invalid/proj"), F.col("doc_id"), F.lit("/")).as("subj"),
+      F.lit("Version").as("pred"), F.lit("9.9.9").as("obj"))
+    val fetched = docs.limit(0).select(F.lit("").as("url"), F.lit("").as("html"))
+    // construction (incl. physical planning) runs no probe-side job
+    val out = KgEngine.enrichAll(canon, registry, Seq("Version"), 1,
+      fetched, probes, screenshotProbes = Some(shots))
+    out.queryExecution.executedPlan // force planning — still lazy
+    val err = intercept[Exception](out.collect())
+    def rootMsg(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("must stay lazy")) ||
+        rootMsg(t.getCause))
+    assert(rootMsg(err), s"expected the bomb to fire only at execution: $err")
+  }
+
+  test("fused check sees probe verdicts for urls first DERIVED by extrapolation") {
+    import spark.implicits._
+    // the subject gains a Homepage from the registry; the in-group
+    // extrapolation derives Repository from it; the probe fleet probed that
+    // DERIVED url invalid — the fused pass must delete it, exactly like the
+    // staged extrapolatePost → applyUrlProbes chain (verdicts join on the
+    // candidate-url closure, not just the pre-extrapolation objs)
+    val canonRows = Seq(graft.spark.Model.CanonTriple(
+      "https://replay.invalid/projD/", "Name", "projD", "", 3, "fixture")).toDS()
+    val registry = Seq(("https://replay.invalid/projD/", "Homepage",
+      "https://github.com/derived-org/derived-repo")).toDF("subj", "pred", "obj")
+    val probes = Seq(("https://github.com/derived-org/derived-repo", "invalid",
+      "")).toDF("url", "status", "canonical_url")
+    val empty = Seq.empty[(String, String)].toDF("url", "html")
+    val fused = KgEngine.enrichAll(canonRows, registry, Seq("Homepage"), 1,
+      empty, probes).collect()
+    val staged = KgEngine.applyUrlProbes(
+      KgEngine.extrapolatePost(
+        KgEngine.enrichFromRegistry(canonRows, registry, Seq("Homepage"), 1),
+        Seq("external-registry")),
+      probes).collect()
+    def k(ts: Array[graft.spark.Model.CanonTriple]) =
+      ts.map(t => (t.subj, t.pred, t.obj, t.obj_json, t.certainty)).sorted.toSeq
+    // the derived Repository existed pre-check (extrapolation ran) …
+    assert(staged.exists(_.pred === "Repository") === false)
+    // … and the fused form deleted it too, plus full equality
+    assert(!fused.exists(_.pred == "Repository"),
+      s"derived Repository must be deleted by its probe verdict: ${k(fused)}")
+    assert(k(fused) == k(staged))
+  }
+
+  test("no screenshot fleet: Likely Screenshots lists pass through the fused check") {
+    import spark.implicits._
+    // url probes ran (the subject's Homepage probes valid) but NO screenshot
+    // fleet did: the Likely Screenshots list must pass through untouched —
+    // treating 'no fleet' as 'all probes inconclusive' would empty the list
+    val canonRows = Seq(
+      graft.spark.Model.CanonTriple("s1", "Homepage", "https://h.example.com/", "", 1, "f"),
+      graft.spark.Model.CanonTriple("s1", "Screenshots", "",
+        "[\"https://img.example.com/1.png\"]", 1, "f")).toDS()
+    val registry = Seq(("s1", "Version", "1.0")).toDF("subj", "pred", "obj")
+    val probes = Seq(("https://h.example.com/", "valid", "https://h.example.com/"))
+      .toDF("url", "status", "canonical_url")
+    val empty = Seq.empty[(String, String)].toDF("url", "html")
+    val out = KgEngine.enrichAll(canonRows, registry, Seq("Version"), 1,
+      empty, probes).collect()
+    val shot = out.filter(_.pred == "Screenshots")
+    assert(shot.length == 1)
+    assert(shot.head.obj_json == "[\"https://img.example.com/1.png\"]")
+    assert(shot.head.certainty == graft.core.Certainty.Likely)
+    assert(out.filter(_.pred == "Homepage").head.certainty == graft.core.Certainty.Certain)
+  }
+
+  test("a homepage first learned from the registry is scraped in the SAME batch") {
+    import spark.implicits._
+    // the homepage exists ONLY in the registry side; the fetched corpus has
+    // it; the scrape must fire in this batch (post-registry-merge homepage
+    // argmax feeds the scrape join), matching the staged chain
+    val canonRows = Seq(graft.spark.Model.CanonTriple(
+      "https://replay.invalid/projS/", "Name", "projS", "", 3, "fixture")).toDS()
+    val registry = Seq(("https://replay.invalid/projS/", "Homepage",
+      "https://projS.example.com/")).toDF("subj", "pred", "obj")
+    val fetched = Seq(("https://projS.example.com/",
+      "<html><a href=\"https://github.com/sorg/srepo\">GitHub</a></html>"))
+      .toDF("url", "html")
+    val probes = Seq.empty[(String, String, String)].toDF("url", "status", "canonical_url")
+    val fused = KgEngine.enrichAll(canonRows, registry, Seq("Homepage"), 1,
+      fetched, probes, extrapolateEnriched = false).collect()
+    val staged = KgEngine.enrichFromHomepages(
+      KgEngine.enrichFromRegistry(canonRows, registry, Seq("Homepage"), 1),
+      fetched).collect()
+    assert(fused.exists(t => t.pred == "Repository" &&
+      t.obj == "https://github.com/sorg/srepo" && t.origin == "homepage-scrape"),
+      s"registry-gained homepage not scraped same-batch: ${fused.toList}")
+    def k(ts: Array[graft.spark.Model.CanonTriple]) =
+      ts.map(t => (t.subj, t.pred, t.obj, t.obj_json, t.certainty)).sorted.toSeq
+    assert(k(fused) == k(staged))
+  }
+
+  test("browse sync derivation is a native expression, not a ScalaUDF") {
+    val probes = docs.select(
+      F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("url"),
+      F.lit("valid").as("status"),
+      F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("canonical_url"))
+    val plan = KgEngine.applyUrlProbes(canon, probes)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"ScalaUDF found in applyUrlProbes plan:\n$plan")
+    assert(plan.contains("browse_url_from_repo"),
+      "browse derivation must appear as the native expression")
+  }
+
   test("enrichAll is result-identical to the staged enrichment chain") {
     val registry = docs.select(
       F.concat(F.lit("https://replay.invalid/proj"), F.col("doc_id"), F.lit("/")).as("subj"),
