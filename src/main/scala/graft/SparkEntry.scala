@@ -615,11 +615,79 @@ object SparkEntry {
         .select("subj", "obj", "obj_json", "certainty")
         .orderBy("subj")
     }),
+    "kg_enrich_archive" -> ((s, dir) => {
+      // archive-dispatch enrichment (lib.rs:3555-3650): subjects route to a
+      // provider by their OWN Archive/*-Project fields. Per doc_id % 4:
+      //   0 — Homepage/Name/Repository/Bug-Database all Certain → the
+      //       possible_fields_missing gate BLOCKS; payload never consulted
+      //   1 — Homepage Certain, Repo/Bug-DB absent → gains both at the
+      //       Archive datum's certainty (Likely); Homepage keeps
+      //   2 — Homepage Possible → the SF homepage (Likely) REPLACES it
+      //   3 — no url fields → gains all three
+      // A crates.io-keyed payload table rides along and must never be
+      // consulted (no subject carries Archive=crates.io).
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val m = F.pmod(F.col("doc_id"), F.lit(4))
+      val subj = F.concat(F.lit("arch:proj"), F.col("doc_id"))
+      def row(pred: String, obj: org.apache.spark.sql.Column,
+              cert: Int, filter: org.apache.spark.sql.Column) =
+        docs.where(filter).select(subj.as("subj"), F.lit(pred).as("pred"),
+          obj.as("obj"), F.lit("").as("obj_json"),
+          F.lit(cert).as("certainty"), F.lit("fixture").as("origin"))
+      val T = F.lit(true)
+      val pn = F.concat(F.lit("proj"), F.col("doc_id"))
+      val canon = row("Archive", F.lit("SourceForge"), 1, T)
+        .unionByName(row("SourceForge-Project", pn, 1, T))
+        .unionByName(row("Name", pn, 3, T))
+        .unionByName(row("Homepage",
+          F.concat(F.lit("https://keep.example.com/p"), F.col("doc_id")), 3, m <= 1))
+        .unionByName(row("Homepage",
+          F.concat(F.lit("https://old.example.com/p"), F.col("doc_id")), 0, m === 2))
+        .unionByName(row("Repository",
+          F.concat(F.lit("https://keep.example.com/r"), F.col("doc_id"), F.lit(".git")), 3, m === 0))
+        .unionByName(row("Bug-Database",
+          F.concat(F.lit("https://keep.example.com/b"), F.col("doc_id")), 3, m === 0))
+        .as[graft.spark.Model.CanonTriple]
+      val ids = docs.select(F.col("doc_id").cast("long")).as[Long]
+      val payloads = ids
+        .map(id => ("SourceForge", "proj" + id, graft.spark.SynthRegistry.sf(id)))
+        .union(ids.map(id =>
+          ("crates.io", "proj" + id, graft.spark.SynthRegistry.crates(id))))
+        .toDF("archive", "project", "payload")
+      KgEngine.enrichFromArchive(canon, payloads).toDF()
+        .where(F.col("pred").isin("Homepage", "Repository", "Bug-Database"))
+        .select("subj", "pred", "obj", "certainty")
+        .orderBy("subj", "pred")
+    }),
     "kg_lineage" -> ((s, dir) => {
-      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
-      KgEngine.lineage(s, pages).toDF()
+      // lineage WITH the per-subject error channel (SURVEY §1.3): flavor-3
+      // projects carry two extra artifacts — a meson.build, whose offline
+      // extraction is a provider ERROR (the reference's meson-not-installed
+      // path, meson.rs:15-19), and a .git/config pointing at anongit.kde.org,
+      // a known_bad_guess Repository dropped pre-merge (lib.rs:876-977) — so
+      // errors and dropped_bad are non-zero and flavor-predictable
+      val docs = t(s, dir, "documents")
+      val f3 = docs.where(F.pmod(F.col("doc_id"), F.lit(8)) === 3)
+      def extra(relpath: String, text: org.apache.spark.sql.Column) = f3.select(
+        F.concat(F.lit("https://replay.invalid/proj"), F.col("doc_id"),
+          F.lit("/" + relpath)).as("url"),
+        F.to_timestamp(F.lit(SynthPages.FixedTs)).as("warc_ts"),
+        text.cast("binary").as("html"), text.as("text"), F.lit("en").as("lang"))
+      val pages = SynthPages.fromDocuments(docs)
+        .unionByName(extra("meson.build", F.lit("project('x', 'c')\n")))
+        .unionByName(extra(".git/config", F.concat(
+          F.lit("[remote \"upstream\"]\n\turl = https://anongit.kde.org/proj"),
+          F.col("doc_id"), F.lit(".git\n"))))
+      val lin = KgEngine.lineage(s, pages).toDF()
         .groupBy()
         .agg(F.sum("input_rows").as("input_rows"), F.sum("emitted").as("emitted"))
+      val stats = KgEngine
+        .splitStats(KgEngine.extractCanonicalWithStats(s, pages))._2
+        .groupBy()
+        .agg(F.coalesce(F.sum("errors"), F.lit(0L)).as("errors"),
+          F.coalesce(F.sum("dropped_bad"), F.lit(0L)).as("dropped_bad"))
+      lin.crossJoin(stats)
     }),
     "kg_resume" -> ((s, dir) => {
       // resume: buckets 0..3 of 8 already committed → only the rest re-emits
@@ -1363,12 +1431,46 @@ object SparkEntry {
            AS obj_json,
          CASE WHEN doc_id % 8 = 0 THEN 2 ELSE 1 END AS certainty
          FROM documents ORDER BY subj""",
+    "kg_enrich_archive" ->
+      // the SF payload's fields per the routing/gate/merge rules of
+      // lib.rs:3555-3650: m=0 untouched (gate), m=1 keeps its Certain
+      // Homepage but gains Repo/Bug-DB at Likely, m=2/3 take all three SF
+      // fields at Likely (m=2's Possible homepage loses the lattice)
+      """WITH d AS (
+           SELECT doc_id, doc_id % 4 AS m, 'arch:proj'||doc_id AS subj
+           FROM documents
+         )
+         SELECT subj, pred, obj, certainty FROM (
+           SELECT subj, 'Homepage' AS pred,
+             CASE WHEN m <= 1 THEN 'https://keep.example.com/p'||doc_id
+                  ELSE 'https://proj'||doc_id||'.sf.example.com/' END AS obj,
+             CASE WHEN m <= 1 THEN 3 ELSE 1 END AS certainty
+           FROM d
+           UNION ALL
+           SELECT subj, 'Repository',
+             CASE WHEN m = 0 THEN 'https://keep.example.com/r'||doc_id||'.git'
+                  ELSE 'https://git.code.sf.net/p/proj'||doc_id||'/code' END,
+             CASE WHEN m = 0 THEN 3 ELSE 1 END
+           FROM d
+           UNION ALL
+           SELECT subj, 'Bug-Database',
+             CASE WHEN m = 0 THEN 'https://keep.example.com/b'||doc_id
+                  ELSE 'https://sourceforge.net/p/proj'||doc_id||'/bugs/' END,
+             CASE WHEN m = 0 THEN 3 ELSE 1 END
+           FROM d
+         ) ORDER BY subj, pred""",
     "kg_lineage" ->
-      // pages per project: 2 (manifest + README), except debian's 5 files;
-      // every synthesized page is an extraction candidate
+      // pages per project: 2 (manifest + README), debian's 5 files, plus the
+      // two malformed flavor-3 artifacts (both candidates); each flavor-3
+      // project yields exactly one provider error (meson) and one known-bad
+      // drop (anongit.kde.org Repository)
       """SELECT
-         CAST(sum(CASE WHEN doc_id % 8 = 4 THEN 5 ELSE 2 END) AS BIGINT) AS input_rows,
-         CAST(sum(CASE WHEN doc_id % 8 = 4 THEN 5 ELSE 2 END) AS BIGINT) AS emitted
+         CAST(sum(CASE WHEN doc_id % 8 = 4 THEN 5
+                       WHEN doc_id % 8 = 3 THEN 4 ELSE 2 END) AS BIGINT) AS input_rows,
+         CAST(sum(CASE WHEN doc_id % 8 = 4 THEN 5
+                       WHEN doc_id % 8 = 3 THEN 4 ELSE 2 END) AS BIGINT) AS emitted,
+         CAST(sum(CASE WHEN doc_id % 8 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+         CAST(sum(CASE WHEN doc_id % 8 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_bad
          FROM documents""",
     "kg_resume" ->
       // buckets 0-3 of 8 committed → remaining triples/subjects; the bucket

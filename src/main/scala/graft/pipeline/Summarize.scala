@@ -56,6 +56,7 @@ object Summarize {
       case "AUTHORS"        => Some(Extractors.authorsFile(relpath, _))
       case "INSTALL"        => Some(Extractors.installFile(relpath, _))
       case "pubspec.yaml" | "pubspec.yml" => Some(Extractors.pubspecYaml(relpath, _))
+      case "meson.build"    => Some(Extractors.mesonBuild(relpath, _))
       case "metadata.json"  => Some(Extractors.metadataJson(relpath, _))
       case ".travis.yml"    => Some(Extractors.travisYml(relpath, _))
       case _                => None
@@ -186,7 +187,10 @@ object Summarize {
     if (has("INSTALL")) slot("INSTALL", "static")
     for (p <- List("pubspec.yaml", "pubspec.yml") if has(p)) slot(p, "static")
     // meson.build: reference shells out to `meson introspect`, which is not
-    // available offline → guesser errors and is dropped. Nothing to emit.
+    // available offline → the guesser ERRORS (meson.rs:15-19); the error is
+    // logged-and-dropped from the datum stream but counted on the lineage
+    // error channel
+    if (has("meson.build")) slot("meson.build", "static")
     if (has("metadata.json")) slot("metadata.json", "static")
     if (has(".travis.yml")) slot(".travis.yml", "static")
 
@@ -273,6 +277,20 @@ object Summarize {
       subjectBasename: String,
       envRepositoryUrl: Option[String] = None
   ): (List[Datum], List[String]) = {
+    val (metadata, errors, _) = summarizeWithStats(files, subjectBasename, envRepositoryUrl)
+    (metadata, errors)
+  }
+
+  /** `summarize` plus the extraction observability the lineage table records
+    * (SURVEY §1.3): the provider errors (the reference logs-and-drops these,
+    * lib.rs:3905-3913 — e.g. meson's offline introspection failure) and the
+    * count of raw datums dropped by `known_bad_guess` before the merge.
+    */
+  def summarizeWithStats(
+      files: scala.collection.Map[String, String],
+      subjectBasename: String,
+      envRepositoryUrl: Option[String] = None
+  ): (List[Datum], List[String], Long) = {
     val errors = List.newBuilder[String]
     val raw = ArrayBuffer.empty[Datum]
     for (g <- guessers(files, files.keySet, subjectBasename, envRepositoryUrl, None)) {
@@ -282,14 +300,19 @@ object Summarize {
       }
     }
 
+    var droppedBad = 0L
     val metadata = ArrayBuffer.empty[Datum]
-    Merge.updateFromGuesses(metadata, raw.iterator.filterNot(KnownBad.isBad))
+    Merge.updateFromGuesses(metadata, raw.iterator.filterNot { d =>
+      val bad = KnownBad.isBad(d)
+      if (bad) droppedBad += 1
+      bad
+    })
 
     extendSfArchive(metadata)
     extrapolate(metadata)
     fixMetadata(metadata)
 
-    (metadata.sortBy(_.field).toList, errors.result())
+    (metadata.sortBy(_.field).toList, errors.result(), droppedBad)
   }
 
   /** Raw extraction only — the scan-mode surface (raw_triples). */

@@ -182,6 +182,55 @@ object KgEngine {
       }
   }
 
+  /** Marker predicate for per-subject extraction-stats rows (same
+    * leading-space convention as the probe carriers — cannot collide with a
+    * real field name). obj = provider-error count, obj_json = known-bad drop
+    * count, both as decimal strings.
+    */
+  val StatsPred: String = " stats"
+
+  /** pages → canonical triples + per-subject extraction stats in the SAME
+    * single pass: subjects whose extraction produced provider errors (e.g.
+    * meson's offline introspection failure) or dropped known-bad datums emit
+    * one extra `StatsPred` marker row — the per-subject error channel the
+    * reference logs and drops (lib.rs:3905-3913), as data. Clean subjects
+    * emit nothing extra, so the common case costs nothing. Split the stream
+    * with `splitStats`; KgJob persists it once and feeds both the triples
+    * table and the lineage error columns.
+    */
+  def extractCanonicalWithStats(spark: SparkSession, pages: DataFrame): Dataset[CanonTriple] = {
+    import spark.implicits._
+    candidateRows(spark, pages)
+      .groupByKey(_._1)
+      .flatMapGroups { (subj, it) =>
+        val files = dedupCaptures(it)
+        val (metadata, errors, droppedBad) =
+          Summarize.summarizeWithStats(files, subjBasename(subj))
+        val triples = metadata.iterator.map { dt =>
+          val (obj, objJson) = objForms(dt.value)
+          CanonTriple(subj, dt.field, obj, objJson,
+            dt.certainty.getOrElse(-1), dt.origin.getOrElse(""))
+        }
+        if (errors.isEmpty && droppedBad == 0L) triples
+        else triples ++ Iterator.single(CanonTriple(
+          subj, StatsPred, errors.size.toString, droppedBad.toString, -1, ""))
+      }
+  }
+
+  /** Splits an `extractCanonicalWithStats` stream into the real triples and
+    * a (subj, errors, dropped_bad) stats table.
+    */
+  def splitStats(all: Dataset[CanonTriple]): (Dataset[CanonTriple], DataFrame) = {
+    import all.sparkSession.implicits._
+    val df = all.toDF()
+    val triples = df.where(F.col("pred") =!= StatsPred).as[CanonTriple]
+    val stats = df.where(F.col("pred") === StatsPred)
+      .select(F.col("subj"),
+        F.col("obj").cast("long").as("errors"),
+        F.col("obj_json").cast("long").as("dropped_bad"))
+    (triples, stats)
+  }
+
   /** pages → per-subject rendered sink (YAML / codemeta / DOAP) in ONE
     * exchange: the renderer runs inside the extraction group on the true
     * typed datums, so sink jobs never re-shuffle the triples by subject a
@@ -501,6 +550,113 @@ object KgEngine {
         F.lit(maxCertainty).as("certainty"),
         F.lit("external-registry").as("origin"),
         F.lit(1).as("guesser_rank"), seq.as("seq"))
+  }
+
+  /** A provider branch of the extend stage's archive dispatch
+    * (/root/reference/src/lib.rs:3555-3650): subjects route to a provider by
+    * their OWN Archive field; `projectField` names the payload key;
+    * `supportedFields` drive the per-provider `possible_fields_missing`
+    * gate; items enter the lattice at the provider's max certainty —
+    * `Certainty.Certain` for the ThirdPartyRepository providers
+    * (haskell.rs:216, rust.rs:512, php.rs:122), or the Archive datum's own
+    * certainty for SourceForge (lib.rs:3567-3576 passes `sf_certainty`).
+    */
+  final case class ArchiveProvider(
+      archive: String,
+      projectField: String,
+      parserKind: String,
+      supportedFields: Seq[String],
+      certaintyFromArchive: Boolean)
+
+  val archiveProviders: Seq[ArchiveProvider] = Seq(
+    ArchiveProvider("SourceForge", "SourceForge-Project", "sourceforge",
+      Seq("Homepage", "Name", "Repository", "Bug-Database"),
+      certaintyFromArchive = true),                       // lib.rs:3556-3576
+    ArchiveProvider("Hackage", "Hackage-Package", "hackage",
+      Seq("Homepage", "Name", "Repository", "Maintainer", "Copyright",
+        "License", "Bug-Database"),
+      certaintyFromArchive = false),                      // lib.rs:3578-3600
+    ArchiveProvider("crates.io", "Cargo-Crate", "crates",
+      Seq("Homepage", "Name", "Repository", "Version", "Summary"),
+      certaintyFromArchive = false),                      // lib.rs:3602-3626
+    ArchiveProvider("Pecl", "Pecl-Package", "pecl",
+      Seq("Homepage", "Repository", "Bug-Database"),
+      certaintyFromArchive = false))                      // lib.rs:3628-3650
+
+  /** Archive-dispatch registry enrichment — the composed form of the extend
+    * stage's provider branches: a payload side table keyed by
+    * `(archive, project)` (the natural shape of a crawled registry-API
+    * snapshot) routes each subject through `RegistryParsers` BY ITS OWN
+    * derived Archive / *-Project fields (e.g. the ones `extendSfArchive`
+    * derives), behind each provider's `possible_fields_missing` anti-join
+    * gate. Parsed datums enter the one lattice argmax exactly like the
+    * subject-keyed registry stream (rank 1, emission-order seq, existing
+    * data wins ties), so a payload can only fill gaps below the provider's
+    * certainty. SourceForge consults the subject's Name as the subproject
+    * filter, exactly like `SourceForge::extend_metadata` (lib.rs:2363-2372).
+    *
+    * Plan shape: per provider, the keyed-subject side is the tiny
+    * Archive-field subset of `canon` (pruned scans of a stored table); the
+    * payload join shuffles on (archive, project) — proportional to the
+    * incomplete subjects of that provider, never the whole graph. Parsing
+    * runs post-join, so only consulted payloads are ever parsed.
+    */
+  def enrichFromArchive(
+      canon: Dataset[CanonTriple],
+      payloads: DataFrame              // (archive, project, payload)
+  ): Dataset[CanonTriple] = {
+    val spark = canon.sparkSession
+    import spark.implicits._
+    val cd = canon.toDF()
+    val names = cd.where(F.col("pred") === "Name")
+      .select(F.col("subj"), F.col("obj").as("name"))
+    val raws: Seq[DataFrame] = archiveProviders.map { p =>
+      val arch = cd
+        .where(F.col("pred") === "Archive" && F.col("obj") === p.archive)
+        .select(F.col("subj"), F.col("certainty").as("arch_cert"))
+      val proj = cd.where(F.col("pred") === p.projectField)
+        .select(F.col("subj"), F.col("obj").as("project"))
+      // possible_fields_missing (lib.rs:2284-2297): consult the provider
+      // only while some supported field is absent or below Certain
+      val complete = cd
+        .where(F.col("pred").isin(p.supportedFields.map(x => x: Any): _*) &&
+               F.col("certainty") === Certainty.Certain)
+        .groupBy("subj").agg(F.countDistinct("pred").as("n_certain"))
+        .where(F.col("n_certain") === p.supportedFields.size)
+        .select("subj")
+      val keyed = arch.join(proj, Seq("subj"))
+        .join(complete, Seq("subj"), "left_anti")
+        .join(names, Seq("subj"), "left")
+      val prov = p // stable reference for the closure
+      keyed
+        .join(payloads.where(F.col("archive") === p.archive)
+          .select(F.col("project"), F.col("payload")), Seq("project"))
+        .select(F.col("subj"), F.col("project"), F.col("name"),
+          F.col("arch_cert"), F.col("payload"))
+        .as[(String, String, String, Int, String)]
+        .flatMap { case (subj, project, name, archCert, payload) =>
+          val parsed = prov.parserKind match {
+            case "sourceforge" => graft.registry.RegistryParsers
+              .parseSfJson(payload, project, Option(name)).getOrElse(Nil)
+            case kind => graft.registry.RegistryParsers
+              .parse(kind, payload).getOrElse(Nil)
+          }
+          // extend_from_external_guesser overrides each item's certainty
+          // with the provider cap (lib.rs:2314-2321)
+          val cert = if (prov.certaintyFromArchive) archCert else Certainty.Certain
+          parsed.iterator.zipWithIndex.map { case (d, i) =>
+            val (obj, objJson) = objForms(d.value)
+            (subj, d.field, obj, objJson, cert, i)
+          }
+        }
+        .toDF("subj", "pred", "obj", "obj_json", "certainty", "seq")
+        .select(F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
+          F.col("certainty"), F.lit("external-registry").as("origin"),
+          F.lit(1).as("guesser_rank"), F.col("seq"))
+    }
+    canonicalize(
+      raws.foldLeft(canonAsRaw(cd))(_.unionByName(_)).as[RawTriple])
+      .as[CanonTriple]
   }
 
   /** Homepage-scrape enrichment — extrapolation rule 14 in its crawl-scale

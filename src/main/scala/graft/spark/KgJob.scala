@@ -81,10 +81,12 @@ object KgJob {
         .partitionBy("bucket")
         .parquet(s"$outDir/$table")
 
-    // triples: the heavy pass — extracted once, bucketed by subject hash
-    val canon = KgEngine.extractCanonical(spark, remaining).toDF()
+    // triples: the heavy pass — extracted once (with the per-subject error
+    // channel riding as marker rows), bucketed by subject hash
+    val all = KgEngine.extractCanonicalWithStats(spark, remaining).toDF()
       .withColumn("bucket", KgEngine.bucketOf(F.col("subj"), buckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = all.where(F.col("pred") =!= KgEngine.StatsPred)
     try {
       write(canon, "triples")
       // edges/nodes derive from the cached triples, not a fresh input scan —
@@ -93,16 +95,26 @@ object KgJob {
       write(e, "edges")
       write(KgEngine.nodesDf(e, carry = Seq("bucket")), "nodes")
 
-      // per-bucket lineage (url column only — a pruned scan): input pages
-      // and candidate pages per bucket for exactly the buckets being re-run.
-      // Pure Catalyst string expressions (KgEngine.subjCol /
-      // candidateUrlCol) — no ScalaUDF, so the whole pass stays inside
-      // whole-stage codegen
+      // per-bucket lineage: input pages and candidate pages from a pruned
+      // url-only scan (pure Catalyst string expressions — KgEngine.subjCol /
+      // candidateUrlCol — no ScalaUDF, the whole pass stays inside
+      // whole-stage codegen), plus the per-subject error channel (provider
+      // errors + known-bad drops) aggregated from the cached stats markers —
+      // SURVEY §1.3's lineage(partition_id, input_rows, emitted,
+      // dropped_bad, errors), keyed by bucket
+      val statsByBucket = all.where(F.col("pred") === KgEngine.StatsPred)
+        .groupBy("bucket")
+        .agg(F.sum(F.col("obj").cast("long")).as("errors"),
+          F.sum(F.col("obj_json").cast("long")).as("dropped_bad"))
       val lin = remaining.select(F.col("url"))
         .withColumn("bucket", KgEngine.bucketOf(KgEngine.subjCol(F.col("url")), buckets))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).as("input_rows"),
           F.sum(KgEngine.candidateUrlCol(F.col("url")).cast("long")).as("emitted"))
+        .join(statsByBucket, Seq("bucket"), "left")
+        .select(F.col("bucket"), F.col("input_rows"), F.col("emitted"),
+          F.coalesce(F.col("dropped_bad"), F.lit(0L)).as("dropped_bad"),
+          F.coalesce(F.col("errors"), F.lit(0L)).as("errors"))
       write(lin, "lineage")
 
       // per-bucket output metrics from the cached triples (north rule:
@@ -132,7 +144,7 @@ object KgJob {
       }
       for ((table, present) <- stale; b <- todo.filterNot(present))
         f.delete(new Path(s"$outDir/$table/bucket=$b"), true)
-    } finally canon.unpersist()
+    } finally all.unpersist()
 
     // commit markers: a bucket is durable once all five tables landed
     todo.foreach(b =>

@@ -51,6 +51,17 @@ object SynthRegistry {
     s""""bug_tracker_uri":"${gh(id)}/issues",""" +
     s""""documentation_uri":"https://docs.example.com/proj$id","licenses":["MIT"]}"""
 
+  /** SourceForge REST projectinfo payload (the shape of
+    * /root/reference/src/testdata's sf JSON vectors, sourceforge.rs:181-231):
+    * one git tool whose anonymous-https clone url is deterministic, plus
+    * external_homepage and preferred_support_url.
+    */
+  def sf(id: Long): String =
+    s"""{"name":"Proj $id","external_homepage":"https://proj$id.sf.example.com/",""" +
+    s""""preferred_support_url":"https://sourceforge.net/p/proj$id/bugs/",""" +
+    s""""tools":[{"name":"git","mount_label":"proj$id","url":"/p/proj$id/code/",""" +
+    s""""clone_url_https_anon":"https://git.code.sf.net/p/proj$id/code"}]}"""
+
   def payload(id: Long): String = kindOf(id) match {
     case "pypi"     => pypi(id, v(id))
     case "npm"      => npm(id)
