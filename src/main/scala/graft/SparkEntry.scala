@@ -53,8 +53,14 @@ object SparkEntry {
     */
   private def fullEnrich(s: SparkSession, dir: String): DataFrame = {
     val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
-    val canon = KgEngine.extractCanonical(s, pages)
     import s.implicits._
+    // composing enrichAll over a LIVE extraction: one explicit subj
+    // repartition turns the extraction into shared map output — every
+    // enrichment branch reuses that exchange instead of re-running the
+    // group pass (a stored canon table needs no barrier; its re-reads are
+    // pruned scans)
+    val canon = KgEngine.extractCanonical(s, pages).toDF()
+      .repartition(F.col("subj")).as[graft.spark.Model.CanonTriple]
     val registry = t(s, dir, "documents").select(F.col("doc_id").cast("long")).as[Long]
       .flatMap { id =>
         val subj = "https://replay.invalid/proj" + id + "/"
@@ -498,7 +504,9 @@ object SparkEntry {
       // pass; Homepage/Bug-*/Repository* are checked first (none match), so
       // the oracle also pins the reference's field order and Likely cap
       val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
-      val canon = KgEngine.extractCanonical(s, pages)
+      import s.implicits._
+      val canon = KgEngine.extractCanonical(s, pages).toDF()
+        .repartition(F.col("subj")).as[graft.spark.Model.CanonTriple]
       val docs = t(s, dir, "documents")
       val registry = docs.select(
         F.concat(F.lit("https://replay.invalid/proj"), F.col("doc_id"), F.lit("/")).as("subj"),

@@ -540,6 +540,30 @@ object Summarize {
     // rule 14 (Homepage → homepage scrape) is network-only: inert offline
   )
 
+  /** Source fields of the single-source extrapolation rules — the start set
+    * of the probe-candidate closure (every url the fixpoint can derive
+    * chains from one of these).
+    */
+  private[graft] lazy val singletonRuleSourceFields: Set[String] =
+    rules.collect { case r if r.fromFields.sizeIs == 1 => r.fromFields.head }.toSet
+
+  /** The (field, value) pairs ONE datum alone derives through the
+    * single-source rules. REUSES the rule callbacks, so the probe-candidate
+    * closure can never drift from `extrapolate` — a new url-producing rule
+    * is picked up automatically (as long as it stays single-source, which
+    * every url-producing rule is; the one two-source rule targets the
+    * non-probed Security-Contact).
+    */
+  private[graft] def singletonUrlDerivations(
+      field: String, value: String): List[(String, String)] =
+    rules.flatMap { r =>
+      if (r.fromFields != List(field)) Nil
+      else {
+        val buf = ArrayBuffer(Datum(field, UStr(value), Some(Likely), None))
+        r.cb(buf).collect { case d if d.str.isDefined => (d.field, d.str.get) }
+      }
+    }
+
   /** extrapolate_fields (src/extrapolate.rs:511-618) */
   def extrapolate(md: ArrayBuffer[Datum]): Unit = {
     var changed = true

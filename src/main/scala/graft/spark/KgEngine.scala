@@ -858,11 +858,20 @@ object KgEngine {
         F.negate(F.col("guesser_rank")),
         F.negate(F.col("seq")))).as("url"))
     val scrapeRaw = scrapeAsRaw(scrapedDatums(spark, homepages, fetched), rank = 2)
-    val merged = canonicalize(
-      canonAsRaw(cd).unionByName(regRaw).unionByName(scrapeRaw).as[RawTriple])
-      .as[CanonTriple]
+    val rawAll0 = canonAsRaw(cd).unionByName(regRaw).unionByName(scrapeRaw)
     if (!extrapolateEnriched)
-      return applyUrlProbes(merged, probes, screenshotProbes)
+      return applyUrlProbes(
+        canonicalize(rawAll0.as[RawTriple]).as[CanonTriple],
+        probes, screenshotProbes)
+    // the union feeds BOTH the lattice argmax and the candidate-url branch;
+    // an explicit repartition on the aggregate's own keys REPLACES the
+    // aggregate's shuffle (the requirement is already satisfied, so no
+    // extra exchange appears) and turns the union into shared map output —
+    // the candidate branch reads the reused exchange instead of re-running
+    // the union's upstream (registry gate, homepage argmax, scrape parse,
+    // and the caller's canon pipeline when it is not a stored table)
+    val rawAll = rawAll0.repartition(F.col("subj"), F.col("pred"))
+    val merged = canonicalize(rawAll.as[RawTriple]).as[CanonTriple]
     // extrapolate + check FUSED into one subject-grouped pass over the merged
     // table: the relational applyUrlProbes' browse-sync branch consumes its
     // input twice (per-branch pruning then re-executes the canonicalize), so
@@ -873,7 +882,16 @@ object KgEngine {
     val probes1 = collapseProbes(probes)
     val shots1 = screenshotProbes.map(collapseShots)
     val haveShots = screenshotProbes.isDefined
-    val cands = merged.flatMap(probeCandidateUrls).toDF("subj", "url")
+    // candidate urls come from the PRE-aggregate raw stream: its values are
+    // a superset of the lattice winners', so the closure still covers every
+    // in-group lookup. Consuming FULL RawTriple rows (not a pruned
+    // projection) keeps this branch's exchange subtree canonically identical
+    // to the lattice branch's, so ReuseExchange shares the one shuffle —
+    // a narrower select here pushes a different projection below the
+    // exchange and silently doubles the union's upstream execution
+    val cands = rawAll.as[RawTriple]
+      .flatMap(r => probeCandidateUrls(r.subj, r.pred, r.obj, r.obj_json, r.certainty))
+      .toDF("subj", "url")
     val pCarrier = cands.join(probes1, Seq("url"))
       .select(F.col("subj"), F.lit(ProbeCarrierPred).as("pred"),
         F.col("url").as("obj"), F.col("canonical_url").as("obj_json"),
@@ -943,25 +961,40 @@ object KgEngine {
   private val checkedFields: Set[String] = Set(
     "Repository", "Homepage", "Repository-Browse", "Bug-Database", "Bug-Submit")
 
+  private lazy val closureStartFields: Set[String] =
+    checkedFields ++ graft.pipeline.Summarize.singletonRuleSourceFields
+
   /** Every url the in-group check could look up for this row's subject: the
-    * obj itself (checked fields), the checked-field values of the row's OWN
-    * extend-tail closure (covers urls first derived by the in-group
-    * fixpoint — each url-producing rule is single-source, so chaining from
-    * one datum reproduces every reachable value), and the members of a
-    * Likely Screenshots list.
+    * obj itself (checked fields), the checked-field values reachable from
+    * this ONE datum through the single-source extrapolation rules (covers
+    * urls first derived by the in-group fixpoint — a BFS over the actual
+    * rule callbacks, far cheaper than running the full fixpoint machinery
+    * per row), and the members of a Likely Screenshots list.
     */
-  private[spark] def probeCandidateUrls(t: CanonTriple): Iterator[(String, String)] =
-    if (t.pred == "Screenshots") {
-      if (t.certainty != Certainty.Likely) Iterator.empty
-      else valueFromForms(t.obj, t.obj_json) match {
-        case graft.core.UStrings(us) => us.iterator.map(u => (t.subj, u))
+  private[spark] def probeCandidateUrls(
+      subj: String, pred: String, obj: String, objJson: String,
+      certainty: Int): Iterator[(String, String)] =
+    if (pred == "Screenshots") {
+      if (certainty != Certainty.Likely) Iterator.empty
+      else valueFromForms(obj, objJson) match {
+        case graft.core.UStrings(us) => us.iterator.map(u => (subj, u))
         case _                       => Iterator.empty
       }
-    } else if (Fields.urlTyped.contains(t.pred)) {
-      extendTail(Array(t)).iterator
-        .filter(d => checkedFields.contains(d.field))
-        .flatMap(_.str).distinct
-        .map(u => (t.subj, u))
+    } else if (closureStartFields.contains(pred)) {
+      val seen = scala.collection.mutable.LinkedHashSet((pred, obj))
+      var frontier: List[(String, String)] = (pred, obj) :: Nil
+      var depth = 0
+      while (frontier.nonEmpty && depth < 8) { // field graph is shallow;
+        depth += 1                             // depth guards value cycles
+        frontier = frontier
+          .flatMap { case (f, u) =>
+            graft.pipeline.Summarize.singletonUrlDerivations(f, u) }
+          .filter(seen.add)
+      }
+      seen.iterator
+        .collect { case (f, u) if checkedFields.contains(f) => u }
+        .distinct
+        .map(u => (subj, u))
     } else Iterator.empty
 
   /** One row per url, deterministically: the lexicographically largest
