@@ -275,8 +275,12 @@ object ScalingBench {
     val pps = configs.map(c => c -> pages / best(c)).toMap
     val times = configs.map(c => f""""t_$c":${best(c)}%.3f""").mkString(",")
     val rates = configs.map(c => f""""pages_per_sec_$c":${pps(c)}%.1f""").mkString(",")
-    val effs = configs.sliding(2).collect {
-      case List(lo, hi) =>
+    // adjacent pairs, PLUS the full min→max span when 3+ configs ran — the
+    // north rule's N vs 4N criterion is the full span's MEDIAN, not the
+    // best adjacent step
+    val pairs = configs.sliding(2).collect { case List(lo, hi) => (lo, hi) }.toList ++
+      (if (configs.size > 2) List((configs.min, configs.max)) else Nil)
+    val effs = pairs.map { case (lo, hi) =>
         val series = perRound.map(m => roundEff(m, lo, hi)).toSeq
         // cpu-work invariance: median over rounds of cpuSum(N)/cpuSum(4N) —
         // ~1.0 means parallelism adds no coordination work and any
