@@ -55,6 +55,37 @@ class KgJobSpec extends AnyFunSuite {
     val metrics = spark.read.parquet(s"$out/metrics")
       .agg(org.apache.spark.sql.functions.sum("n_triples")).first.getLong(0)
     assert(metrics == expectedTriples)
+    // stats markers never leak into the triples table
+    assert(spark.read.parquet(s"$out/triples")
+      .where(s"pred = '${graft.spark.KgEngine.StatsPred}'").count() == 0)
+  }
+
+  test("lineage carries the per-subject error channel (dropped_bad, errors)") {
+    import org.apache.spark.sql.{functions => F}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where("doc_id < 40")
+    val base = SynthPages.fromDocuments(docs)
+    // give doc 7 a meson.build (provider error offline) and a known-bad
+    // .git/config upstream remote (dropped pre-merge)
+    import spark.implicits._
+    val extra = Seq(
+      ("https://replay.invalid/proj7/meson.build", "project('x', 'c')\n"),
+      ("https://replay.invalid/proj7/.git/config",
+       "[remote \"upstream\"]\n\turl = https://anongit.kde.org/proj7.git\n"))
+      .toDF("url", "text")
+      .withColumn("warc_ts", F.to_timestamp(F.lit(SynthPages.FixedTs)))
+      .withColumn("html", F.col("text").cast("binary"))
+      .withColumn("lang", F.lit("en"))
+      .select("url", "warc_ts", "html", "text", "lang")
+    val out = freshDir("kgjob_errs")
+    KgJob.run(spark, base.unionByName(extra), out, buckets = 4)
+    val lin = spark.read.parquet(s"$out/lineage")
+    assert(lin.columns.toSet ==
+      Set("bucket", "input_rows", "emitted", "dropped_bad", "errors"))
+    val row = lin.agg(F.sum("errors"), F.sum("dropped_bad")).first
+    assert(row.getLong(0) == 1L, s"errors: $row")      // the meson failure
+    assert(row.getLong(1) == 1L, s"dropped: $row")     // the anongit repo
+    // clean buckets report zeroes, not nulls
+    assert(lin.where("errors IS NULL OR dropped_bad IS NULL").count() == 0)
   }
 
   test("maxBucketsPerRun bounds the loss window; looping completes the job") {
