@@ -302,7 +302,11 @@ class EnrichPlanSpec extends AnyFunSuite {
       // Certain, like the pure twin) — not silently vanish in the explode
       graft.spark.Model.CanonTriple("s3", "Screenshots", "", "[]", 1, "o"),
       // unparseable obj_json is not a string list → untouched passthrough
-      graft.spark.Model.CanonTriple("s4", "Screenshots", "", "[oops", 1, "o")
+      graft.spark.Model.CanonTriple("s4", "Screenshots", "", "[oops", 1, "o"),
+      // NULL obj_json (e.g. read back from externally written parquet with
+      // a nullable column): the predicate must be FALSE, not SQL NULL — a
+      // null predicate fails both branches and silently deletes the row
+      graft.spark.Model.CanonTriple("s5", "Screenshots", "", null, 1, "o")
     ).toDS()
     val emptyProbes = Seq.empty[(String, String, String)]
       .toDF("url", "status", "canonical_url")
@@ -312,7 +316,7 @@ class EnrichPlanSpec extends AnyFunSuite {
     // c unprobed → dropped AND the list demoted back to Likely
     assert(out.map(t => (t.subj, t.obj_json, t.certainty)).toList == List(
       ("s1", "[\"a\"]", 1), ("s2", "[\"x\"]", 3),
-      ("s3", "[]", 3), ("s4", "[oops", 1)))
+      ("s3", "[]", 3), ("s4", "[oops", 1), ("s5", null, 1)))
     val pureProbe = Map("a" -> true, "b" -> false)
     val pure = graft.pipeline.Checks.applyProbes(
       List(graft.core.Datum("Screenshots", graft.core.UStrings(List("a", "b", "c")),
