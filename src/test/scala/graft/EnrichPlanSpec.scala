@@ -112,6 +112,13 @@ class EnrichPlanSpec extends AnyFunSuite {
       }
       assert(subjPredShuffles.size <= 2,
         s"unexpected extra (subj,pred) exchanges (${subjPredShuffles.size})")
+      // the candidate-url branch must SHARE the lattice union's shuffle
+      // (ReuseExchange), not re-execute the union's upstream
+      val reused = plan.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }
+      assert(reused.nonEmpty,
+        "candidate branch must reuse the union exchange (found no ReusedExchange)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
