@@ -273,6 +273,8 @@ object SparkEntry {
       TrainingOps.annBruteForce(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
     "ann_lsh" -> ((s, dir) =>
       TrainingOps.annLsh(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
+    "ann_ivf" -> ((s, dir) =>
+      TrainingOps.annIvf(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
     "dedup_embedding" -> ((s, dir) => {
       // embedding-cosine near-dup over the doubled corpus: LSH-bucketed
       // candidates, exact cosine >= 0.95 (only the injected duplicates reach
@@ -735,6 +737,55 @@ object SparkEntry {
          SELECT DISTINCT q.vec_id AS query_id, c.vec_id
          FROM sig q JOIN sig c ON q.t = c.t AND q.s = c.s
          WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+       ),
+       scored AS (
+         SELECT cand.query_id, cand.vec_id,
+                list_dot_product(qe.emb, ce.emb) /
+                  sqrt(list_dot_product(qe.emb, qe.emb) * list_dot_product(ce.emb, ce.emb)) AS cos
+         FROM cand
+         JOIN e qe ON qe.vec_id = cand.query_id
+         JOIN e ce ON ce.vec_id = cand.vec_id
+       ),
+       ranked AS (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id ASC) AS rank
+         FROM scored
+       )
+       SELECT query_id, CAST(rank AS INT) AS rank, vec_id
+       FROM ranked WHERE rank <= 10 ORDER BY 1, 2"""
+  }
+
+  /** The deterministic IVF centroid matrix as a SQL VALUES literal —
+    * identical doubles to TrainingOps.centroids.
+    */
+  private lazy val centroidValuesSql: String = {
+    val cs = TrainingOps.centroids(nlist = 16, dim = 64)
+    cs.indices.map(c => s"($c, [${cs(c).mkString(", ")}]::DOUBLE[])").mkString(",\n")
+  }
+
+  private lazy val annIvfOracleSql: String = {
+    s"""WITH ct(c, v) AS (VALUES $centroidValuesSql),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       score AS (
+         SELECT e.vec_id, ct.c, list_dot_product(e.emb, ct.v) AS s FROM e, ct
+       ),
+       assign AS (
+         SELECT vec_id, c FROM (
+           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY s DESC, c ASC) AS rn
+           FROM score) WHERE rn = 1
+       ),
+       probe AS (
+         SELECT vec_id AS query_id, c FROM (
+           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY s DESC, c ASC) AS rn
+           FROM score WHERE vec_id < 10) WHERE rn <= 4
+       ),
+       cand AS (
+         SELECT p.query_id, a.vec_id
+         FROM probe p JOIN assign a USING (c)
+         WHERE a.vec_id != p.query_id
        ),
        scored AS (
          SELECT cand.query_id, cand.vec_id,
@@ -1528,6 +1579,7 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS INT) AS rank, vec_id
          FROM ranked WHERE rank <= 10 ORDER BY 1, 2""",
     "ann_lsh" -> annLshOracleSql,
+    "ann_ivf" -> annIvfOracleSql,
     "dedup_embedding" ->
       s"""WITH hp(t, p, v) AS (VALUES $hyperplaneValuesSql),
          e AS (

@@ -316,6 +316,74 @@ object TrainingOps {
       .select("query_id", "rank", "vec_id")
   }
 
+  /** Deterministic IVF centroids — the same splitmix64 family as
+    * `hyperplanes` (distinct seed space), public so the relational oracle
+    * embeds identical values. Real IVF trains centroids with k-means in a
+    * separate offline job; deterministic centroids keep the ORACLE exact
+    * while the Spark-side plumbing (assignment, inverted cells, probe
+    * join, in-cell exact scoring) is the production shape.
+    */
+  def centroids(nlist: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nlist, dim) { (c, d) =>
+      val h = mix64(0x1F1F0000000000L ^ (c.toLong << 20) ^ d.toLong)
+      (h.toDouble / Long.MaxValue.toDouble).toFloat.toDouble
+    }
+
+  /** IVF (inverted-file) ANN — the other classic scale path beside LSH:
+    * every corpus vector is assigned to its single nearest centroid cell
+    * (argmax dot product, ties to the lowest cell id — one narrow pass,
+    * centroids in the task closure); a query probes its `nprobe` nearest
+    * cells and exact cosine runs only against those cells' vectors. The
+    * candidate step is a cell-id equijoin (the probe side is nQueries ×
+    * nprobe rows — broadcast), so the scored set is ~|corpus|·nprobe/nlist
+    * instead of N×Q; a skewed cell is ordinary join skew, handled by AQE.
+    */
+  def annIvf(
+      embeddings: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = 64
+    val cs = centroids(nlist, dim)
+    def topCells(v: Array[Float], n: Int): Array[Int] = {
+      val scores = Array.tabulate(nlist) { c =>
+        var dot = 0.0
+        var d = 0
+        val lim = math.min(dim, v.length)
+        // double element products — reproducible by list_dot_product on
+        // DOUBLE[] (the relational oracle)
+        while (d < lim) { dot += v(d).toDouble * cs(c)(d); d += 1 }
+        (dot, c)
+      }
+      scores.sortBy { case (s, c) => (-s, c) }.take(n).map(_._2)
+    }
+    val ds = embeddings.select(F.col("vec_id").cast("long"), F.col("embedding"))
+      .as[(Long, Array[Float])]
+    val assigned = ds.map { case (id, v) => (id, topCells(v, 1)(0)) }
+      .toDF("vec_id", "cell")
+    val probed = ds.filter(_._1 < nQueries)
+      .flatMap { case (id, v) => topCells(v, nprobe).iterator.map(c => (id, c)) }
+      .toDF("query_id", "cell")
+    val cand = F.broadcast(probed).join(assigned, Seq("cell"))
+      .where(F.col("query_id") =!= F.col("vec_id"))
+      .select("query_id", "vec_id")
+    val vecs = ds.toDF("vec_id", "embedding")
+    val qvecs = ds.toDF("query_id", "qembedding")
+    graft.functions.CosineSimilarity.register(spark)
+    val scored = cand
+      .join(F.broadcast(qvecs.where(F.col("query_id") < nQueries)), "query_id")
+      .join(vecs, "vec_id")
+      .withColumn("cosine", F.expr("cosine_sim(qembedding, embedding)"))
+    val w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    scored.withColumn("rank", F.row_number().over(w))
+      .where(F.col("rank") <= k)
+      .select("query_id", "rank", "vec_id")
+  }
+
   /** Embedding-cosine near-dup: candidate pairs share a hyperplane-LSH
     * bucket in any table (the same signatures annLsh uses), then exact
     * cosine ≥ threshold on candidates only — never the N² cross product.
