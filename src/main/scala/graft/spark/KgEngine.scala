@@ -196,7 +196,10 @@ object KgEngine {
     * reference logs and drops (lib.rs:3905-3913), as data. Clean subjects
     * emit nothing extra, so the common case costs nothing. Split the stream
     * with `splitStats`; KgJob persists it once and feeds both the triples
-    * table and the lineage error columns.
+    * table and the lineage error columns. ALWAYS split before composing
+    * with the enrichment operators — the space-prefixed predicate space is
+    * reserved for engine markers and enrichment treats such rows as its
+    * own (they do not survive the fused check pass).
     */
   def extractCanonicalWithStats(spark: SparkSession, pages: DataFrame): Dataset[CanonTriple] = {
     import spark.implicits._
