@@ -180,6 +180,46 @@ class EnrichPlanSpec extends AnyFunSuite {
     assert(k(fused) == k(staged))
   }
 
+  test("probe verdicts reach urls TWO derivation hops from the enriched datum") {
+    import spark.implicits._
+    // registry Bug-Submit (…/issues/new) → hop 1 Bug-Database (…/issues) →
+    // hop 2 Repository (the repo root) — three TEXTUALLY DISTINCT urls, so
+    // a verdict on the hop-2 url can only arrive if the candidate closure
+    // CHAINS through the rules rather than stopping at first-order
+    // derivations. The probe fleet covered only the hop-2 Repository
+    // (invalid): the fused pass must delete it, exactly like the staged
+    // chain.
+    val subj = "https://replay.invalid/projC/"
+    val canonRows = Seq(graft.spark.Model.CanonTriple(
+      subj, "Name", "projC", "", 3, "fixture")).toDS()
+    val registry = Seq((subj, "Bug-Submit",
+      "https://github.com/chain-org/chain-repo/issues/new")).toDF("subj", "pred", "obj")
+    val probes = Seq(("https://github.com/chain-org/chain-repo", "invalid", ""))
+      .toDF("url", "status", "canonical_url")
+    val empty = Seq.empty[(String, String)].toDF("url", "html")
+    val fused = KgEngine.enrichAll(canonRows, registry, Seq("Bug-Submit"), 1,
+      empty, probes).collect()
+    val staged = KgEngine.applyUrlProbes(
+      KgEngine.extrapolatePost(
+        KgEngine.enrichFromRegistry(canonRows, registry, Seq("Bug-Submit"), 1),
+        Seq("external-registry")),
+      probes).collect()
+    // sanity: the chain actually derived distinct urls pre-check
+    val stagedNoProbe = KgEngine.extrapolatePost(
+      KgEngine.enrichFromRegistry(canonRows, registry, Seq("Bug-Submit"), 1),
+      Seq("external-registry")).collect()
+    assert(stagedNoProbe.exists(t => t.pred == "Bug-Database" &&
+      t.obj == "https://github.com/chain-org/chain-repo/issues"))
+    assert(stagedNoProbe.exists(t => t.pred == "Repository" &&
+      t.obj == "https://github.com/chain-org/chain-repo"))
+    // the hop-2 verdict must land in the fused form
+    assert(!fused.exists(_.pred == "Repository"),
+      s"hop-2 Repository must be deleted by its probe verdict: ${fused.toList}")
+    def k(ts: Array[graft.spark.Model.CanonTriple]) =
+      ts.map(t => (t.subj, t.pred, t.obj, t.obj_json, t.certainty)).sorted.toSeq
+    assert(k(fused) == k(staged))
+  }
+
   test("no screenshot fleet: Likely Screenshots lists pass through the fused check") {
     import spark.implicits._
     // url probes ran (the subject's Homepage probes valid) but NO screenshot
