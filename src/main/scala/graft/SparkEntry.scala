@@ -986,7 +986,9 @@ object SparkEntry {
     "doc_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
-         CAST(sum(length(list_distinct(string_split(text, ' ')))) AS BIGINT) AS total_distinct
+         CAST(sum(length(list_distinct(string_split(text, ' ')))) AS BIGINT) AS total_distinct,
+         CAST(sum(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT)
+           AS total_subwords
          FROM documents GROUP BY 1 ORDER BY 1""",
     "doc_quality" ->
       """SELECT doc_id, length(text) AS n_chars_actual,

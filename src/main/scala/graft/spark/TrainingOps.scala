@@ -433,8 +433,18 @@ object TrainingOps {
 
   // ---------- text analysis ----------
 
-  /** Whitespace token counting + vocabulary stats per language. Pure integer
-    * arithmetic so the DuckDB oracle matches exactly.
+  /** BPE-ish subword pattern: letter runs, SINGLE digits (the GPT-2-family
+    * convention that keeps numbers compositional), and single
+    * non-alphanumeric marks. Dialect-portable (same semantics under Java
+    * regex and DuckDB/RE2), so both engines count identical pieces.
+    */
+  val SubwordPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** Token counting + vocabulary stats per language: whitespace tokens AND
+    * a BPE-ish subword count (`SubwordPattern`) — the estimator a training
+    * pipeline budgets with. Pure integer arithmetic so the DuckDB oracle
+    * matches exactly; everything stays columnar/codegen'd (regexp_count, no
+    * UDF).
     */
   def tokenStats(documents: DataFrame): DataFrame =
     documents
@@ -443,11 +453,14 @@ object TrainingOps {
           .cast("long"))
       .withColumn("n_distinct",
         F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long"))
+      .withColumn("n_subwords",
+        F.expr(s"regexp_count(text, '${SubwordPattern.replace("\\", "\\\\")}')").cast("long"))
       .groupBy("lang")
       .agg(
         F.count(F.lit(1)).as("n_docs"),
         F.sum("n_tokens").as("total_tokens"),
-        F.sum("n_distinct").as("total_distinct"))
+        F.sum("n_distinct").as("total_distinct"),
+        F.sum("n_subwords").as("total_subwords"))
       .orderBy("lang")
 
   /** Per-document quality scoring: length sanity, vocabulary richness,
