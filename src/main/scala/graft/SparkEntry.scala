@@ -297,6 +297,26 @@ object SparkEntry {
         .toDF("doc_id", "blob")
       TrainingOps.decodeMediaBatch(s, media).toDF().orderBy("doc_id")
     }),
+    "multimodal_resize" -> ((s, dir) => {
+      // real nearest-neighbor ÷2 pixel resample over the decoded BMPs; the
+      // all-black payloads keep the pixel fingerprint closed-form in SQL
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(F.col("doc_id").cast("long")).as[Long]
+        .map(id => (id, TrainingOps.syntheticBmp(id)))
+        .toDF("doc_id", "blob")
+      TrainingOps.resizeMediaBatch(s, media).toDF().orderBy("doc_id")
+    }),
+    "multimodal_frames" -> ((s, dir) => {
+      // frame sampling over length-prefixed synthetic clips (1+id%6 frames,
+      // every 2nd frame sampled)
+      import s.implicits._
+      val clips = t(s, dir, "documents")
+        .select(F.col("doc_id").cast("long")).as[Long]
+        .map(id => (id, TrainingOps.syntheticClip(id)))
+        .toDF("doc_id", "blob")
+      TrainingOps.sampleFrames(s, clips).toDF().orderBy("doc_id", "frame_idx")
+    }),
 
     // ---------- knowledge-graph construction ----------
     "kg_canonical" -> ((s, dir) => {
@@ -1104,6 +1124,29 @@ object SparkEntry {
                 CAST(w AS INT) AS width, CAST(h AS INT) AS height,
                 md5(hex) AS checksum
          FROM hexes ORDER BY doc_id""",
+    "multimodal_resize" ->
+      // nearest-neighbor ÷2 of an all-black w×h image: ceil-halved dims,
+      // packed RGB (3·w'·h' bytes), still all-black pixels
+      """WITH p AS (
+           SELECT doc_id,
+                  (1 + doc_id % 16 + 1) // 2 AS w2,
+                  (1 + doc_id % 12 + 1) // 2 AS h2
+           FROM documents
+         )
+         SELECT doc_id, CAST(w2 AS INT) AS width, CAST(h2 AS INT) AS height,
+                CAST(3*w2*h2 AS INT) AS n_pixel_bytes,
+                md5(repeat('00', CAST(3*w2*h2 AS INT))) AS pixel_md5
+         FROM p ORDER BY doc_id""",
+    "multimodal_frames" ->
+      // 1+id%6 frames per clip, every 2nd sampled; all frames share the
+      // doc's BMP dims
+      """SELECT d.doc_id, CAST(f.i AS INT) AS frame_idx,
+                CAST(1 + d.doc_id % 16 AS INT) AS width,
+                CAST(1 + d.doc_id % 12 AS INT) AS height
+         FROM documents d,
+              LATERAL (SELECT unnest(generate_series(0,
+                         CAST(d.doc_id % 6 AS INT), 2)) AS i) f
+         ORDER BY d.doc_id, frame_idx""",
     "kg_canonical" ->
       s"""WITH $canonicalCte
          SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",

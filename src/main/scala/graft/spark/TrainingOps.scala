@@ -558,6 +558,127 @@ object TrainingOps {
       }
   }
 
+  final case class ResizedMedia(
+      doc_id: Long, width: Int, height: Int, n_pixel_bytes: Int, pixel_md5: String)
+
+  /** Multimodal resize: a REAL nearest-neighbor ÷2 downsample over the
+    * decoded 24bpp BMP pixel array (bottom-up rows, 4-byte row padding —
+    * the actual pixel walk a production resizer does), emitting packed RGB
+    * without padding plus an engine-neutral md5-over-hex fingerprint. The
+    * synthetic payloads are all-black, which keeps the ORACLE closed-form
+    * (the resample of a black image is black: md5(repeat('00', 3·w'·h')))
+    * while the Spark-side plumbing — binary in, batched per-partition
+    * execution, typed rows out — is the production shape. Non-BMP blobs
+    * are skipped (a production build routes them to its codec at the same
+    * batch boundary).
+    */
+  def resizeMediaBatch(spark: SparkSession, media: DataFrame): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select(F.col("doc_id").cast("long"), F.col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes0) =>
+            val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+            val n = bytes.length
+            val isBmp = n >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte &&
+              le32(bytes, 14) == 40
+            if (!isBmp) Iterator.empty
+            else {
+              val w = le32(bytes, 18)
+              val h = math.abs(le32(bytes, 22))
+              if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) Iterator.empty
+              else {
+                val rowSize = ((24 * w + 31) / 32) * 4
+                val w2 = (w + 1) / 2
+                val h2 = (h + 1) / 2
+                val out = new Array[Byte](3 * w2 * h2)
+                var y2 = 0
+                while (y2 < h2) {
+                  val srcY = y2 * 2
+                  // bottom-up storage: row y sits at (h-1-y) from the top
+                  val rowOff = 54 + (h - 1 - srcY) * rowSize
+                  var x2 = 0
+                  while (x2 < w2) {
+                    val srcOff = rowOff + (x2 * 2) * 3
+                    val dstOff = (y2 * w2 + x2) * 3
+                    if (srcOff + 2 < n) {
+                      out(dstOff) = bytes(srcOff)
+                      out(dstOff + 1) = bytes(srcOff + 1)
+                      out(dstOff + 2) = bytes(srcOff + 2)
+                    }
+                    x2 += 1
+                  }
+                  y2 += 1
+                }
+                md.reset()
+                val hex = out.map("%02x".format(_)).mkString
+                Iterator.single(ResizedMedia(id, w2, h2, out.length,
+                  md.digest(hex.getBytes("US-ASCII")).map("%02x".format(_)).mkString))
+              }
+            }
+          }
+        }
+      }
+  }
+
+  final case class SampledFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int)
+
+  /** Synthetic video clip for doc `id`: a 4-byte LE frame count followed by
+    * 1+id%6 concatenated BMP frames — the length-prefixed container the
+    * frame sampler walks.
+    */
+  def syntheticClip(id: Long): Array[Byte] = {
+    val nFrames = (1 + id % 6).toInt
+    val frame = syntheticBmp(id)
+    val b = java.nio.ByteBuffer.allocate(4 + nFrames * frame.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(nFrames)
+    (0 until nFrames).foreach(_ => b.put(frame))
+    b.array()
+  }
+
+  /** Multimodal frame sampling: walk a length-prefixed frame container and
+    * decode every `stride`-th frame's header — the batched binary-in /
+    * typed-rows-out plumbing of a video sampler (a production build swaps
+    * the per-frame header read for its codec at the same place). Offsets
+    * advance by each frame's OWN declared file size, so variable-length
+    * frames walk correctly.
+    */
+  def sampleFrames(
+      spark: SparkSession,
+      clips: DataFrame,              // (doc_id, blob)
+      stride: Int = 2
+  ): Dataset[SampledFrame] = {
+    import spark.implicits._
+    clips.select(F.col("doc_id").cast("long"), F.col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes0) =>
+            val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+            if (bytes.length < 4) Iterator.empty
+            else {
+              val nFrames = le32(bytes, 0)
+              val out = List.newBuilder[SampledFrame]
+              var off = 4
+              var i = 0
+              while (i < nFrames && off + 54 <= bytes.length &&
+                     bytes(off) == 'B'.toByte && bytes(off + 1) == 'M'.toByte) {
+                val fileSize = le32(bytes, off + 2)
+                if (i % stride == 0)
+                  out += SampledFrame(id, i,
+                    le32(bytes, off + 18), math.abs(le32(bytes, off + 22)))
+                if (fileSize <= 0) i = nFrames else { off += fileSize; i += 1 }
+              }
+              out.result().iterator
+            }
+          }
+        }
+      }
+  }
+
   /** Deterministic 24-bit all-black BMP for doc `id` (width 1+id%16, height
     * 1+id%12) — the synthetic media payload for decode tests and oracles.
     */
