@@ -289,7 +289,8 @@ object Summarize {
   def summarizeWithStats(
       files: scala.collection.Map[String, String],
       subjectBasename: String,
-      envRepositoryUrl: Option[String] = None
+      envRepositoryUrl: Option[String] = None,
+      iterationLimit: Int = DefaultIterationLimit
   ): (List[Datum], List[String], Long) = {
     val errors = List.newBuilder[String]
     val raw = ArrayBuffer.empty[Datum]
@@ -309,7 +310,9 @@ object Summarize {
     })
 
     extendSfArchive(metadata)
-    extrapolate(metadata)
+    // ExtrapolationLimitExceeded is a ProviderError in the reference
+    // (lib.rs:2839) — it rides the same error channel the guesser errors do
+    extrapolate(metadata, iterationLimit).foreach(errors += _)
     fixMetadata(metadata)
 
     (metadata.sortBy(_.field).toList, errors.result(), droppedBad)
@@ -356,7 +359,7 @@ object Summarize {
     val metadata = ArrayBuffer.empty[Datum]
     Merge.updateFromGuesses(metadata, raw.iterator.filterNot(KnownBad.isBad))
     extendSfArchive(metadata)
-    extrapolate(metadata)
+    extrapolate(metadata): Unit // this path drops guesser errors too
     fixMetadata(metadata)
     metadata.sortBy(_.field).toList
   }
@@ -564,15 +567,28 @@ object Summarize {
       }
     }
 
-  /** extrapolate_fields (src/extrapolate.rs:511-618) */
-  def extrapolate(md: ArrayBuffer[Datum]): Unit = {
+  /** The reference's DEFAULT_ITERATION_LIMIT (src/extrapolate.rs:5). */
+  val DefaultIterationLimit: Int = 10
+
+  /** extrapolate_fields (src/extrapolate.rs:511-618). Mirrors the
+    * reference's `iteration_limit: Option<usize>` parameter and its
+    * `Err(ProviderError::ExtrapolationLimitExceeded)` outcome: a fixpoint
+    * that fails to converge within the limit returns the error as data
+    * (Some(message)), leaving `md` at the truncated state exactly like the
+    * reference's mutate-then-Err. Callers route it onto the provider-error
+    * channel (`summarizeWithStats`) or propagate like the reference's `?`
+    * at lib.rs:3695 (`KgEngine.extendTail`).
+    */
+  def extrapolate(
+      md: ArrayBuffer[Datum],
+      iterationLimit: Int = DefaultIterationLimit): Option[String] = {
     var changed = true
     var iterations = 0
     while (changed) {
       changed = false
       iterations += 1
-      if (iterations > 10)
-        return // reference raises; single-subject data converges well before
+      if (iterations > iterationLimit)
+        return Some(s"ExtrapolationLimitExceeded($iterationLimit)")
       for (rule <- rules) {
         val fromValues = rule.fromFields.map(f => get(md, f))
         if (fromValues.forall(_.isDefined)) {
@@ -588,6 +604,7 @@ object Summarize {
         }
       }
     }
+    None
   }
 
   /** fix_upstream_metadata (src/lib.rs:3790-3805) */

@@ -201,14 +201,17 @@ object KgEngine {
     * reserved for engine markers and enrichment treats such rows as its
     * own (they do not survive the fused check pass).
     */
-  def extractCanonicalWithStats(spark: SparkSession, pages: DataFrame): Dataset[CanonTriple] = {
+  def extractCanonicalWithStats(
+      spark: SparkSession, pages: DataFrame,
+      iterationLimit: Int = Summarize.DefaultIterationLimit): Dataset[CanonTriple] = {
     import spark.implicits._
     candidateRows(spark, pages)
       .groupByKey(_._1)
       .flatMapGroups { (subj, it) =>
         val files = dedupCaptures(it)
         val (metadata, errors, droppedBad) =
-          Summarize.summarizeWithStats(files, subjBasename(subj))
+          Summarize.summarizeWithStats(files, subjBasename(subj),
+            iterationLimit = iterationLimit)
         val triples = metadata.iterator.map { dt =>
           val (obj, objJson) = objForms(dt.value)
           CanonTriple(subj, dt.field, obj, objJson,
@@ -771,7 +774,12 @@ object KgEngine {
     val md = scala.collection.mutable.ArrayBuffer.from(
       rows.map(tripleToDatum).sortBy(_.field))
     Summarize.extendSfArchive(md)
-    Summarize.extrapolate(md)
+    // extend_upstream_metadata propagates ExtrapolationLimitExceeded with
+    // `?` (lib.rs:3695) — the enrichment job fails, it is not logged-and-
+    // dropped like guesser errors, so a non-convergent subject fails the
+    // task here too
+    Summarize.extrapolate(md).foreach(e =>
+      throw new IllegalStateException(e))
     md
   }
 
@@ -957,9 +965,9 @@ object KgEngine {
   // carrier rows ride the subject exchange next to real triples; the
   // leading-space prefix cannot collide with a real predicate (field names
   // are drawn from the reference's fixed vocabulary, none space-prefixed)
-  private val CarrierMark: Char = ' '
-  private[spark] val ProbeCarrierPred: String = " probe"
-  private[spark] val ShotCarrierPred: String = " shot"
+  private val CarrierMark: Char = '\u0000'
+  private[spark] val ProbeCarrierPred: String = "\u0000probe"
+  private[spark] val ShotCarrierPred: String = "\u0000shot"
 
   private val checkedFields: Set[String] = Set(
     "Repository", "Homepage", "Repository-Browse", "Bug-Database", "Bug-Submit")
@@ -1052,15 +1060,25 @@ object KgEngine {
   def applyUrlProbes(
       canon: Dataset[CanonTriple],
       probes: DataFrame,
-      screenshotProbes: Option[DataFrame] = None
+      screenshotProbes: Option[DataFrame] = None,
+      broadcastProbes: Option[Boolean] = None
   ): Dataset[CanonTriple] = {
     import canon.sparkSession.implicits._
     val checked = Seq("Repository", "Homepage", "Repository-Browse",
       "Bug-Database", "Bug-Submit")
     val cd = canon.toDF()
     val probes1 = collapseProbes(probes)
-    val p = F.broadcast(probes1) // probe fleets emit compact tables; a big
-                                 // one would shuffle-join on url instead
+    // size-guarded dissemination: probe fleets usually emit compact tables
+    // (→ broadcast), but a fleet-scale verdict table must shuffle-join on
+    // url instead of being replicated to every executor. Default None
+    // leaves the choice to Catalyst/AQE's autoBroadcastJoinThreshold —
+    // the engine's own size statistics, not a hard-coded hint — so the
+    // operator cannot be misused by handing it a huge probe table.
+    val p = broadcastProbes match {
+      case Some(true)  => F.broadcast(probes1)
+      case Some(false) => probes1.hint("shuffle_hash")
+      case None        => probes1
+    }
     // pre-replacement rows (original obj kept — the sync comparison below
     // must see the ORIGINAL browse object, exactly like the pure twin which
     // syncs before the browse field's own probe is applied)

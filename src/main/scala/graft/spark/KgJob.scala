@@ -62,7 +62,8 @@ object KgJob {
       pages: DataFrame,
       outDir: String,
       buckets: Int = DefaultBuckets,
-      maxBucketsPerRun: Int = Int.MaxValue
+      maxBucketsPerRun: Int = Int.MaxValue,
+      iterationLimit: Int = graft.pipeline.Summarize.DefaultIterationLimit
   ): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val f = fs(outDir, conf)
@@ -83,7 +84,7 @@ object KgJob {
 
     // triples: the heavy pass — extracted once (with the per-subject error
     // channel riding as marker rows), bucketed by subject hash
-    val all = KgEngine.extractCanonicalWithStats(spark, remaining).toDF()
+    val all = KgEngine.extractCanonicalWithStats(spark, remaining, iterationLimit).toDF()
       .withColumn("bucket", KgEngine.bucketOf(F.col("subj"), buckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canon = all.where(F.col("pred") =!= KgEngine.StatsPred)

@@ -38,7 +38,7 @@ class EnrichPlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "lattice argmax must not lower to a window sort")
   }
 
-  test("applyUrlProbes broadcasts the probe table") {
+  test("applyUrlProbes broadcasts a small probe table") {
     val probes = docs.select(
       F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("url"),
       F.lit("valid").as("status"),
@@ -47,6 +47,42 @@ class EnrichPlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("applyUrlProbes shuffle-joins a fleet-scale probe table (size guard)") {
+    // the guard is Catalyst's own size threshold: a probe table above
+    // autoBroadcastJoinThreshold must NOT be replicated to every executor.
+    // Model "above threshold" by disabling auto-broadcast — the operator
+    // hard-coding F.broadcast would make this test fail.
+    val probes = docs.select(
+      F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("url"),
+      F.lit("valid").as("status"),
+      F.concat(F.lit("https://proj"), F.col("doc_id"), F.lit(".example.com/")).as("canonical_url"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = KgEngine.applyUrlProbes(canon, probes)
+        .queryExecution.executedPlan.toString
+      // the url-keyed probe join must shuffle (the per-subject sync
+      // side-table — a tiny derived subset — may still broadcast on subj)
+      assert(plan.contains("SortMergeJoin [obj") ||
+             plan.contains("ShuffledHashJoin [obj"),
+        s"no shuffled probe join on obj=url in plan:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin [obj"),
+        s"probe join still broadcast with threshold disabled:\n$plan")
+      // explicit small-fleet escape hatch still forces the broadcast
+      val hinted = KgEngine.applyUrlProbes(canon, probes,
+          broadcastProbes = Some(true))
+        .queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastHashJoin [obj"),
+        s"broadcastProbes=Some(true) did not force broadcast:\n$hinted")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // results are join-strategy-invariant
+    val broadcastRows = KgEngine.applyUrlProbes(canon, probes,
+      broadcastProbes = Some(true)).collect().toSet
+    val shuffledRows = KgEngine.applyUrlProbes(canon, probes,
+      broadcastProbes = Some(false)).collect().toSet
+    assert(broadcastRows == shuffledRows)
   }
 
   test("conflicting duplicate probe rows collapse deterministically, no row fan-out") {

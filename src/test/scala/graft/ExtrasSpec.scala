@@ -136,4 +136,25 @@ class ExtrasSpec extends AnyFunSuite {
     val n = "not an image".length
     assert(out(1L).width == 1 + n % 640 && out(1L).height == 1 + n % 480)
   }
+
+  test("extrapolate signals ExtrapolationLimitExceeded instead of silently truncating") {
+    import scala.collection.mutable.ArrayBuffer
+    import graft.pipeline.Summarize
+    // Homepage → Repository → Repository-Browse is a derivation chain that
+    // needs a second sweep to observe quiescence: iteration 1 changes the
+    // metadata, iteration 2 confirms the fixpoint. With the reference's
+    // default limit (10) it converges; with iteration_limit = 1 the
+    // reference returns Err(ProviderError::ExtrapolationLimitExceeded(1))
+    // (extrapolate.rs:524-528) — ours returns the same error as data.
+    def md() = ArrayBuffer(
+      Datum("Homepage", UStr("https://github.com/o/p"), Some(3), None))
+    val ok = Summarize.extrapolate(md())
+    assert(ok.isEmpty)
+    val m = md()
+    val err = Summarize.extrapolate(m, iterationLimit = 1)
+    assert(err.contains("ExtrapolationLimitExceeded(1)"))
+    // like the reference's mutate-then-Err, the buffer keeps iteration 1's
+    // derivations
+    assert(m.exists(_.field == "Repository"))
+  }
 }

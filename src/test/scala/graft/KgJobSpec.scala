@@ -88,6 +88,35 @@ class KgJobSpec extends AnyFunSuite {
     assert(lin.where("errors IS NULL OR dropped_bad IS NULL").count() == 0)
   }
 
+  test("extrapolation limit overruns surface on the lineage error channel") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    // a subject whose extrapolation chain (Homepage → Repository →
+    // Repository-Browse) needs a confirming second sweep: converges under
+    // the default limit, exceeds iterationLimit = 1 — the synthetic
+    // non-convergent vector for ProviderError::ExtrapolationLimitExceeded
+    // (extrapolate.rs:524-528)
+    val pages = Seq(
+      ("https://replay.invalid/cyclic/package.json",
+       """{"name": "cyclic", "homepage": "https://github.com/o/cyclic"}"""))
+      .toDF("url", "text")
+      .withColumn("warc_ts", F.to_timestamp(F.lit(SynthPages.FixedTs)))
+      .withColumn("html", F.col("text").cast("binary"))
+      .withColumn("lang", F.lit("en"))
+      .select("url", "warc_ts", "html", "text", "lang")
+    val clean = freshDir("kgjob_xlim_ok")
+    KgJob.run(spark, pages, clean, buckets = 2)
+    assert(spark.read.parquet(s"$clean/lineage")
+      .agg(F.sum("errors")).first.getLong(0) == 0L)
+    val capped = freshDir("kgjob_xlim")
+    KgJob.run(spark, pages, capped, buckets = 2, iterationLimit = 1)
+    assert(spark.read.parquet(s"$capped/lineage")
+      .agg(F.sum("errors")).first.getLong(0) == 1L)
+    // mutate-then-Err: iteration 1's derivations are kept in the triples
+    assert(spark.read.parquet(s"$capped/triples")
+      .where("pred = 'Repository'").count() == 1L)
+  }
+
   test("maxBucketsPerRun bounds the loss window; looping completes the job") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where("doc_id < 64")
     val pages = SynthPages.fromDocuments(docs)
