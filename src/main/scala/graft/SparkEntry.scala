@@ -267,6 +267,29 @@ object SparkEntry {
           docs.select((F.col("doc_id") * 2 + 1).as("doc_id"), F.col("text")))
       TrainingOps.simhashPairs(doubled, maxDist = 0).orderBy("a", "b")
     }),
+    "dedup_pipeline" -> ((s, dir) => {
+      // exact-first composed dedup over a corpus with a 10,000-copy
+      // duplicate flood of doc 0's text (ids 1_000_000+i): the flood
+      // collapses to ONE representative before any LSH banding (the naive
+      // form would emit ~5·10⁷ intra-bucket candidates), and the result
+      // still equals the naive all-pairs semantics — the oracle computes
+      // the naive form and both sides aggregate the ~5·10⁷ pairs per
+      // left-endpoint so the compared result stays ~10⁴ rows
+      val docs = t(s, dir, "documents")
+        .select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))
+      val flood = docs.where(F.col("doc_id") === 0)
+        .crossJoin(s.range(10000).select(F.col("id")))
+        .select((F.lit(1000000L) + F.col("id")).as("doc_id"), F.col("text"))
+      TrainingOps.dedupPipeline(docs.unionByName(flood), threshold = 1.0)
+        .groupBy("a")
+        .agg(
+          F.count(F.lit(1)).as("n_partners"),
+          F.sum("b").as("sum_b"),
+          // every pair in this corpus is exact (jaccard literally 1.0), so
+          // the double sum is integral and order-independent
+          F.sum("jaccard").as("sum_jaccard"))
+        .orderBy("a")
+    }),
 
     // ---------- similarity search ----------
     "ann_brute" -> ((s, dir) =>
@@ -1098,6 +1121,38 @@ object SparkEntry {
          SELECT l.doc_id AS a, r.doc_id AS b, CAST(0 AS INT) AS dist
          FROM sim l JOIN sim r ON l.sh = r.sh AND l.doc_id < r.doc_id
          ORDER BY 1, 2""",
+    "dedup_pipeline" ->
+      // the NAIVE all-pairs semantics (identical word-3-gram shingle sets at
+      // threshold 1.0) over the flooded corpus, aggregated per left
+      // endpoint — the composed exact-first pipeline must reproduce it
+      // exactly. The shingle SET joins on its md5 fingerprint (set equality
+      // ⟺ sorted-distinct-list string equality) so the 10k-row flood side
+      // hash-joins on a scalar key.
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT 1000000 + f.i, d.text
+           FROM documents d, (SELECT unnest(range(10000)) AS i) f
+           WHERE d.doc_id = 0
+         ),
+         s AS (
+           SELECT doc_id,
+             md5(CAST(CASE WHEN length(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_sort(list_distinct(list_transform(
+                         range(length(string_split(text, ' ')) - 2),
+                         i -> string_split(text, ' ')[CAST(i+1 AS INT)]||' '
+                           ||string_split(text, ' ')[CAST(i+2 AS INT)]||' '
+                           ||string_split(text, ' ')[CAST(i+3 AS INT)])))
+             END AS VARCHAR)) AS shk
+           FROM all_docs
+         ),
+         pairs AS (
+           SELECT l.doc_id AS a, r.doc_id AS b
+           FROM s l JOIN s r ON l.shk = r.shk AND l.doc_id < r.doc_id
+         )
+         SELECT a, count(*) AS n_partners, CAST(sum(b) AS BIGINT) AS sum_b,
+                CAST(count(*) AS DOUBLE) AS sum_jaccard
+         FROM pairs GROUP BY a ORDER BY a""",
     "multimodal_decode" ->
       // rebuilds the synthetic BMP byte-for-byte as lowercase hex: 14-byte
       // file header + 40-byte BITMAPINFOHEADER + zeroed 24bpp pixel rows

@@ -100,15 +100,24 @@ object TrainingOps {
     * for which banding recall is 1 (identical signatures collide in every
     * band) — that is the oracle-checkable operating point.
     */
-  def minhashDedupPairs(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val spark = documents.sparkSession
+  /** The LSH candidate set alone: doc pairs sharing at least one band
+    * bucket, (a, b) with a < b. Split out of `minhashDedupPairs` so the
+    * composed `dedupPipeline` (and its scale tests) can measure candidate
+    * volume directly — candidate count is the quantity the exact-first
+    * composition bounds.
+    */
+  def minhashCandidatePairs(documents: DataFrame): DataFrame = {
     val sigs = minhashBands(documents).toDF()
-    val cand = sigs.as("l").join(sigs.as("r"),
+    sigs.as("l").join(sigs.as("r"),
         F.col("l.band") === F.col("r.band") &&
         F.col("l.key") === F.col("r.key") &&
         F.col("l.doc_id") < F.col("r.doc_id"))
       .select(F.col("l.doc_id").as("a"), F.col("r.doc_id").as("b"))
       .distinct()
+  }
+
+  def minhashDedupPairs(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val cand = minhashCandidatePairs(documents)
     val docs = documents
       .select(F.col("doc_id").cast("long"), F.col("text"),
         F.split(F.col("text"), " ").as("ws"))
@@ -187,6 +196,77 @@ object TrainingOps {
       .where(F.col("dist") <= maxDist)
       .select("a", "b", "dist")
   }
+
+  // ---------- composed dedup pipeline (exact-first) ----------
+
+  /** Exact-first composition shared by `dedupPipeline` and
+    * `simhashDedupPipeline`: collapse exact duplicates (md5 groupBy, kept
+    * id = group minimum), run the near-dup operator over ONE representative
+    * per distinct content, then re-expand membership. Because every stage of
+    * both near-dup operators — MinHash signatures, SimHash bits, shingle
+    * sets — is a pure function of `text`, a pair of documents relates
+    * exactly as its representatives do, so the composed result EQUALS the
+    * naive all-docs pair semantics while candidate generation and
+    * verification touch only O(distinct²) pairs instead of O(docs²). This
+    * is the fix for the duplicate-flood pathology: 10⁶ copies of one
+    * boilerplate page share every LSH band and would emit ~5·10¹¹
+    * intra-bucket candidates naively; here they collapse to one
+    * representative before banding, and reappear only in the final
+    * membership joins (linear in OUTPUT size, which is irreducible for a
+    * pair-list contract — a production run would persist `membership` plus
+    * the representative pairs and skip the expansion entirely).
+    *
+    * `selfScore` is the score an identical-content pair carries in the
+    * naive semantics (jaccard 1.0 / hamming distance 0).
+    */
+  private def exactThenNear(
+      documents: DataFrame,
+      nearOnReps: DataFrame => DataFrame,
+      scoreCol: String,
+      selfScore: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val docs = documents.select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))
+    val members = docs.withColumn("h", F.md5(F.col("text")))
+    // one aggregate produces both the membership map and the representative
+    // corpus (text is functionally determined by h, so min(text) IS the text)
+    val groups = members.groupBy("h")
+      .agg(F.min("doc_id").as("rep_id"), F.min("text").as("text"))
+    val membership = members.select("doc_id", "h")
+      .join(groups.select("h", "rep_id"), "h")
+      .select("doc_id", "rep_id")
+    val repPairs = nearOnReps(
+      groups.select(F.col("rep_id").as("doc_id"), F.col("text")))
+    // cross-group pairs: expand each representative pair over both groups'
+    // members; least/greatest restores the a < b normal form
+    val cross = repPairs
+      .join(membership.select(F.col("doc_id").as("da"), F.col("rep_id").as("a")), "a")
+      .join(membership.select(F.col("doc_id").as("db"), F.col("rep_id").as("b")), "b")
+      .select(
+        F.least("da", "db").as("a"), F.greatest("da", "db").as("b"),
+        F.col(scoreCol))
+    // intra-group pairs: identical content relates with the self score
+    val intra = membership.as("x").join(membership.as("y"),
+        F.col("x.rep_id") === F.col("y.rep_id") &&
+        F.col("x.doc_id") < F.col("y.doc_id"))
+      .select(F.col("x.doc_id").as("a"), F.col("y.doc_id").as("b"),
+        selfScore.as(scoreCol))
+    cross.unionByName(intra)
+  }
+
+  /** MinHash+LSH near-dup with the exact-duplicate collapse composed in
+    * front — same output contract as `minhashDedupPairs` (a, b, jaccard),
+    * identical results, candidate volume bounded by distinct content.
+    */
+  def dedupPipeline(documents: DataFrame, threshold: Double = 0.9): DataFrame =
+    exactThenNear(documents, minhashDedupPairs(_, threshold),
+      "jaccard", F.lit(1.0))
+
+  /** SimHash near-dup with the exact-duplicate collapse composed in front —
+    * same output contract as `simhashPairs` (a, b, dist), identical results.
+    */
+  def simhashDedupPipeline(documents: DataFrame, maxDist: Int = 3): DataFrame =
+    exactThenNear(documents, simhashPairs(_, maxDist),
+      "dist", F.lit(0))
 
   // ---------- similarity search (embeddings) ----------
 
