@@ -713,6 +713,71 @@ object SparkEntry {
         .select("subj", "pred", "obj", "certainty")
         .orderBy("subj", "pred")
     }),
+    "kg_enrich_external" -> ((s, dir) => {
+      // external-directory dispatch (lib.rs:3652-3694): subjects route to
+      // Launchpad, AUR, Gobo, and Repology by the Source name of their OWN
+      // debian/control (parsed for real by debianSourceName). Per doc_id % 4:
+      //   0 — control has no Source paragraph → routes nowhere, keeps Name
+      //   1 — all six union fields Certain → every provider gate BLOCKS
+      //   2 — Homepage+Name Certain only → gains Repository from AUR
+      //       (Possible; beats gobo by provider order), Wiki from Launchpad
+      //       (Possible), and Download/License/Summary from Repology
+      //       (Confident; beats Launchpad's Possible values)
+      //   3 — only a neutral Version → gains everything; Homepage comes
+      //       from Repology (Confident beats three Possible homepages) and
+      //       Name from Launchpad (first-provider rank beats gobo's)
+      // Every id also ships an unused-package payload per directory that
+      // must never be consulted (dispatch isolation).
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val m = F.pmod(F.col("doc_id"), F.lit(4))
+      val subj = F.concat(F.lit("ext:proj"), F.col("doc_id"))
+      def row(pred: String, obj: org.apache.spark.sql.Column,
+              cert: Int, filter: org.apache.spark.sql.Column) =
+        docs.where(filter).select(subj.as("subj"), F.lit(pred).as("pred"),
+          obj.as("obj"), F.lit("").as("obj_json"),
+          F.lit(cert).as("certainty"), F.lit("fixture").as("origin"))
+      val pn = F.concat(F.lit("proj"), F.col("doc_id"))
+      def keep(tag: String) =
+        F.concat(F.lit(s"https://keep.example.com/$tag"), F.col("doc_id"))
+      val canon = row("Name", pn, 3, m =!= 3)
+        .unionByName(row("Homepage", keep("h"), 3, m.isin(1, 2)))
+        .unionByName(row("Repository",
+          F.concat(keep("r"), F.lit(".git")), 3, m === 1))
+        .unionByName(row("Download", keep("d"), 3, m === 1))
+        .unionByName(row("License", F.lit("KeepL"), 3, m === 1))
+        .unionByName(row("Summary",
+          F.concat(F.lit("Keep summary "), F.col("doc_id")), 3, m === 1))
+        .unionByName(row("Version",
+          F.concat(F.lit("v"), F.col("doc_id")), 3, m === 3))
+        .as[graft.spark.Model.CanonTriple]
+      // debian/control per subject — m=0 is a binary-only file (no Source
+      // paragraph); the real deb822 parse derives the routing key
+      val controls = docs.select(F.col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val content =
+            if (id % 4 == 0) s"Package: bin-proj$id\nArchitecture: any\n"
+            else s"Source: pkg$id\nMaintainer: M <m@example.com>\n\n" +
+                 s"Package: bin-proj$id\nArchitecture: any\n"
+          (s"ext:proj$id", content)
+        }.toDF("subj", "control")
+      val sources = controls.as[(String, String)]
+        .flatMap { case (subjId, content) =>
+          KgEngine.debianSourceName(content).map(p => (subjId, p))
+        }.toDF("subj", "package")
+      val ids = docs.select(F.col("doc_id").cast("long")).as[Long]
+      def dirRows(directory: String, payload: Long => String) =
+        ids.map(id => (directory, "pkg" + id, payload(id)))
+          .union(ids.map(id => (directory, "unusedpkg" + id, payload(id + 7))))
+      val payloads = dirRows("launchpad", graft.spark.SynthRegistry.launchpadDir)
+        .union(dirRows("aur", graft.spark.SynthRegistry.aurDir))
+        .union(dirRows("gobo", graft.spark.SynthRegistry.goboDir))
+        .union(dirRows("repology", graft.spark.SynthRegistry.repologyDir))
+        .toDF("directory", "package", "payload")
+      KgEngine.enrichFromExternalDirectory(canon, sources, payloads).toDF()
+        .select("subj", "pred", "obj", "certainty")
+        .orderBy("subj", "pred")
+    }),
     "kg_lineage" -> ((s, dir) => {
       // lineage WITH the per-subject error channel (SURVEY §1.3): flavor-3
       // projects carry two extra artifacts — a meson.build, whose offline
@@ -1617,6 +1682,44 @@ object SparkEntry {
                   ELSE 'https://sourceforge.net/p/proj'||doc_id||'/bugs/' END,
              CASE WHEN m = 0 THEN 3 ELSE 1 END
            FROM d
+         ) ORDER BY subj, pred""",
+    "kg_enrich_external" ->
+      // closed-form outcome of the external-directory dispatch
+      // (lib.rs:3652-3694) per doc_id % 4: 0 routes nowhere (no Source
+      // paragraph), 1 is fully gate-blocked, 2 gains Repository(AUR,
+      // Possible=0) + Wiki(Launchpad, 0) + Download/License/Summary
+      // (Repology, Confident=2), 3 additionally gains Homepage(Repology, 2)
+      // and Name(Launchpad, 0 — first provider wins the Possible tie)
+      """WITH d AS (
+           SELECT doc_id AS id, doc_id % 4 AS m, 'ext:proj'||doc_id AS subj
+           FROM documents
+         )
+         SELECT subj, pred, obj, certainty FROM (
+           SELECT subj, 'Name' AS pred, 'proj'||id AS obj, 3 AS certainty
+           FROM d WHERE m <> 3
+           UNION ALL SELECT subj, 'Homepage',
+             'https://keep.example.com/h'||id, 3 FROM d WHERE m IN (1, 2)
+           UNION ALL SELECT subj, 'Repository',
+             'https://keep.example.com/r'||id||'.git', 3 FROM d WHERE m = 1
+           UNION ALL SELECT subj, 'Download',
+             'https://keep.example.com/d'||id, 3 FROM d WHERE m = 1
+           UNION ALL SELECT subj, 'License', 'KeepL', 3 FROM d WHERE m = 1
+           UNION ALL SELECT subj, 'Summary',
+             'Keep summary '||id, 3 FROM d WHERE m = 1
+           UNION ALL SELECT subj, 'Version', 'v'||id, 3 FROM d WHERE m = 3
+           UNION ALL SELECT subj, 'Repository',
+             'https://aur.example.com/r'||id||'.git', 0 FROM d WHERE m IN (2, 3)
+           UNION ALL SELECT subj, 'Wiki',
+             'https://lp.example.com/w'||id, 0 FROM d WHERE m IN (2, 3)
+           UNION ALL SELECT subj, 'Download',
+             'https://repology.example.org/d'||id, 2 FROM d WHERE m IN (2, 3)
+           UNION ALL SELECT subj, 'License',
+             'MIT-'||(id % 3), 2 FROM d WHERE m IN (2, 3)
+           UNION ALL SELECT subj, 'Summary',
+             'Repology summary '||id, 2 FROM d WHERE m IN (2, 3)
+           UNION ALL SELECT subj, 'Homepage',
+             'https://repology.example.org/h'||id, 2 FROM d WHERE m = 3
+           UNION ALL SELECT subj, 'Name', 'LpName'||id, 0 FROM d WHERE m = 3
          ) ORDER BY subj, pred""",
     "kg_lineage" ->
       // pages per project: 2 (manifest + README), debian's 5 files, plus the

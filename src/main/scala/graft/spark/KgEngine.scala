@@ -665,6 +665,125 @@ object KgEngine {
       .as[CanonTriple]
   }
 
+  /** A provider of the extend stage's EXTERNAL-DIRECTORY dispatch
+    * (/root/reference/src/lib.rs:3652-3694): all four providers are keyed
+    * by the subject's DEBIAN source package name (the reference reads it
+    * straight from debian/control) and capped at the provider's maximum
+    * certainty — Possible for Launchpad (lib.rs:3745-3746), AUR
+    * (arch.rs:189-195) and Gobo (gobo.rs:160-166), Confident for Repology
+    * (lib.rs:3768-3770). A provider is consulted only when its cap can meet
+    * `minimum_certainty` (lib.rs:3749-3752, 3717-3720, 3772-3775).
+    */
+  final case class ExternalDirectoryProvider(
+      directory: String,
+      supportedFields: Seq[String],
+      maxCertainty: Int)
+
+  /** Reference consultation order (lib.rs:3663-3692) — encoded into
+    * `guesser_rank` so an earlier provider's value wins certainty ties in
+    * the lattice argmax, exactly like the reference's sequential
+    * insert-only-if-more-certain updates.
+    */
+  val externalDirectoryProviders: Seq[ExternalDirectoryProvider] = Seq(
+    ExternalDirectoryProvider("launchpad",
+      Seq("Homepage", "Repository", "Name", "Download"), Certainty.Possible),
+    ExternalDirectoryProvider("aur",
+      Seq("Homepage", "Repository"), Certainty.Possible),
+    ExternalDirectoryProvider("gobo",
+      Seq("Homepage", "Repository"), Certainty.Possible),
+    ExternalDirectoryProvider("repology",
+      Seq("Homepage", "License", "Summary", "Download"), Certainty.Confident))
+
+  /** The debian/control Source package name — the routing key of the
+    * external-directory dispatch (lib.rs:3655-3661: a relaxed parse of
+    * debian/control; a missing or unparseable file routes nowhere).
+    */
+  def debianSourceName(content: String): Option[String] =
+    graft.extract.Parsers.parseDeb822(content)
+      .flatMap(graft.extract.Parsers.deb822Get(_, "Source"))
+      .headOption
+
+  /** External-directory enrichment — the composed form of the extend
+    * stage's `consult_external_directory` branch (lib.rs:3652-3694): each
+    * subject's Debian source-package name (from its OWN debian/control —
+    * `sources` is (subj, package), typically derived with
+    * `debianSourceName`) routes through Launchpad, AUR, GoboLinux, and
+    * Repology IN ORDER, each behind its `possible_fields_missing` anti-join
+    * gate and skipped entirely when its certainty cap cannot meet
+    * `minimumCertainty`. Parsed datums enter the one lattice argmax at the
+    * provider cap (extend_from_external_guesser overrides item certainty,
+    * lib.rs:2318-2320), with the provider's position as `guesser_rank`, so
+    * an earlier directory's value beats a later one at equal certainty and
+    * existing data (rank 0) beats both. Gobo payloads are the Recipe and
+    * Resources/Description files concatenated — the two line dialects are
+    * disjoint, so routing one blob through both parsers reproduces
+    * `guess_from_gobo`'s datum concatenation (gobo.rs:73-133).
+    *
+    * Unlike the archive dispatch (which fans a subject to exactly one
+    * provider), every debian-keyed subject consults every open directory;
+    * plan-wise each branch still joins only that provider's payload
+    * partition against the incomplete-subject subset, shuffling on
+    * `package` — never the whole graph.
+    *
+    * Both gates are data, not config: the reference runs this branch only
+    * under `net_access && consult_external_directory` (golden tests run it
+    * off), so `consult = false` returns the canon unchanged.
+    */
+  def enrichFromExternalDirectory(
+      canon: Dataset[CanonTriple],
+      sources: DataFrame,              // (subj, package)
+      payloads: DataFrame,             // (directory, package, payload)
+      minimumCertainty: Int = Certainty.Possible,
+      consult: Boolean = true
+  ): Dataset[CanonTriple] = {
+    if (!consult) return canon
+    val spark = canon.sparkSession
+    import spark.implicits._
+    val cd = canon.toDF()
+    val raws: Seq[DataFrame] = externalDirectoryProviders.zipWithIndex
+      .filter { case (p, _) => p.maxCertainty >= minimumCertainty }
+      .map { case (p, idx) =>
+        // possible_fields_missing (lib.rs:2284-2297): consult the provider
+        // only while some supported field is absent or below Certain
+        val complete = cd
+          .where(F.col("pred").isin(p.supportedFields.map(x => x: Any): _*) &&
+                 F.col("certainty") === Certainty.Certain)
+          .groupBy("subj").agg(F.countDistinct("pred").as("n_certain"))
+          .where(F.col("n_certain") === p.supportedFields.size)
+          .select("subj")
+        val keyed = sources.select(F.col("subj"), F.col("package"))
+          .join(complete, Seq("subj"), "left_anti")
+        val prov = p // stable reference for the closure
+        keyed
+          .join(payloads.where(F.col("directory") === p.directory)
+            .select(F.col("package"), F.col("payload")), Seq("package"))
+          .select(F.col("subj"), F.col("payload"))
+          .as[(String, String)]
+          .flatMap { case (subj, payload) =>
+            val parsed = prov.directory match {
+              case "gobo" =>
+                graft.registry.RegistryParsers
+                  .parse("gobo-recipe", payload).getOrElse(Nil) ++
+                graft.registry.RegistryParsers
+                  .parse("gobo-description", payload).getOrElse(Nil)
+              case kind => graft.registry.RegistryParsers
+                .parse(kind, payload).getOrElse(Nil)
+            }
+            parsed.iterator.zipWithIndex.map { case (d, i) =>
+              val (obj, objJson) = objForms(d.value)
+              (subj, d.field, obj, objJson, prov.maxCertainty, i)
+            }
+          }
+          .toDF("subj", "pred", "obj", "obj_json", "certainty", "seq")
+          .select(F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_json"),
+            F.col("certainty"), F.lit("external-directory").as("origin"),
+            F.lit(1 + idx).as("guesser_rank"), F.col("seq"))
+      }
+    canonicalize(
+      raws.foldLeft(canonAsRaw(cd))(_.unionByName(_)).as[RawTriple])
+      .as[CanonTriple]
+  }
+
   /** Homepage-scrape enrichment — extrapolation rule 14 in its crawl-scale
     * form (/root/reference/src/homepage.rs:7-56): the reference fetches each
     * subject's Homepage and harvests Repository / Bug-Database links from the

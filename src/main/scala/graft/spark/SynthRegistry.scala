@@ -62,6 +62,32 @@ object SynthRegistry {
     s""""tools":[{"name":"git","mount_label":"proj$id","url":"/p/proj$id/code/",""" +
     s""""clone_url_https_anon":"https://git.code.sf.net/p/proj$id/code"}]}"""
 
+  /** External-directory payloads (the `consult_external_directory` branch,
+    * lib.rs:3652-3694), one per directory, keyed by the Debian source
+    * package name `pkg{id}`. Values are pure functions of id so the
+    * dispatch composition has an exact DuckDB oracle.
+    */
+  def launchpadDir(id: Long): String =
+    s"""{"homepage_url":"https://lp.example.com/h$id","display_name":"LpName$id",""" +
+    s""""wiki_url":"https://lp.example.com/w$id","summary":"Lp summary $id",""" +
+    s""""download_url":"https://lp.example.com/d$id"}"""
+
+  def aurDir(id: Long): String =
+    s"url=('https://aur.example.com/h$id')\n" +
+    s"source=('https://aur.example.com/r$id.git')\n"
+
+  /** Recipe `url=` line and Resources/Description `[Field]` lines in one
+    * blob — the two gobo dialects are line-disjoint (gobo.rs:73-133).
+    */
+  def goboDir(id: Long): String =
+    s"url=https://gobo.example.com/h$id\n[Name] GoboName$id\n"
+
+  def repologyDir(id: Long): String =
+    s"""[{"name":"pkg$id","status":"newest",""" +
+    s""""www":["https://repology.example.org/h$id"],"licenses":["MIT-${id % 3}"],""" +
+    s""""summary":"Repology summary $id",""" +
+    s""""downloads":["https://repology.example.org/d$id"]}]"""
+
   def payload(id: Long): String = kindOf(id) match {
     case "pypi"     => pypi(id, v(id))
     case "npm"      => npm(id)
