@@ -322,21 +322,32 @@ object SparkEntry {
     }),
     "multimodal_resize" -> ((s, dir) => {
       // real nearest-neighbor ÷2 pixel resample over the decoded BMPs; the
-      // all-black payloads keep the pixel fingerprint closed-form in SQL
+      // all-black payloads keep the pixel fingerprint closed-form in SQL,
+      // and four literal NON-black patterned vectors (ids 9000101..9000404,
+      // incl. 1×1 and odd-dimension/padded shapes) keep the pixel walk
+      // honest — their expected fingerprints are constants in the oracle,
+      // derived with an independent implementation of the resample spec
       import s.implicits._
       val media = t(s, dir, "documents")
         .select(F.col("doc_id").cast("long")).as[Long]
         .map(id => (id, TrainingOps.syntheticBmp(id)))
         .toDF("doc_id", "blob")
-      TrainingOps.resizeMediaBatch(s, media).toDF().orderBy("doc_id")
+      val patterned = Seq(
+        (9000101L, 5, 4), (9000202L, 1, 1), (9000303L, 16, 9), (9000404L, 7, 3))
+      val extra = s.createDataFrame(patterned.map { case (id, w, h) =>
+        (id, TrainingOps.syntheticBmpPattern(id, w, h)) }).toDF("doc_id", "blob")
+      TrainingOps.resizeMediaBatch(s, media.unionByName(extra)).toDF()
+        .orderBy("doc_id")
     }),
     "multimodal_frames" -> ((s, dir) => {
-      // frame sampling over length-prefixed synthetic clips (1+id%6 frames,
-      // every 2nd frame sampled)
+      // frame sampling over length-prefixed clips with VARIABLE-size frames
+      // (frame i of doc id is (1+(id+3i)%16) × (1+(id+5i)%12), every 2nd
+      // sampled) — the walk advances by each frame's own declared file
+      // size, so a fixed-stride shortcut would desynchronize and fail
       import s.implicits._
       val clips = t(s, dir, "documents")
         .select(F.col("doc_id").cast("long")).as[Long]
-        .map(id => (id, TrainingOps.syntheticClip(id)))
+        .map(id => (id, TrainingOps.syntheticClipVaried(id)))
         .toDF("doc_id", "blob")
       TrainingOps.sampleFrames(s, clips).toDF().orderBy("doc_id", "frame_idx")
     }),
@@ -1246,7 +1257,11 @@ object SparkEntry {
          FROM hexes ORDER BY doc_id""",
     "multimodal_resize" ->
       // nearest-neighbor ÷2 of an all-black w×h image: ceil-halved dims,
-      // packed RGB (3·w'·h' bytes), still all-black pixels
+      // packed RGB (3·w'·h' bytes), still all-black pixels — plus four
+      // literal NON-black vectors whose expected fingerprints were
+      // precomputed with an INDEPENDENT (python) implementation of the
+      // resample spec, pinning the real pixel walk (bottom-up rows, 4-byte
+      // padding, top-left-of-2×2 sampling)
       """WITH p AS (
            SELECT doc_id,
                   (1 + doc_id % 16 + 1) // 2 AS w2,
@@ -1256,13 +1271,21 @@ object SparkEntry {
          SELECT doc_id, CAST(w2 AS INT) AS width, CAST(h2 AS INT) AS height,
                 CAST(3*w2*h2 AS INT) AS n_pixel_bytes,
                 md5(repeat('00', CAST(3*w2*h2 AS INT))) AS pixel_md5
-         FROM p ORDER BY doc_id""",
+         FROM p
+         UNION ALL
+         SELECT * FROM (VALUES
+           (9000101, 3, 2, 18, '9cc5066ccdc60155acba13c3ac3647e8'),
+           (9000202, 1, 1, 3,  'd594a8c1fba2e7ddddabc879494fe180'),
+           (9000303, 8, 5, 120, 'de5f80582e10e865bf99d478d3bfa579'),
+           (9000404, 4, 2, 24, '1330063246487271c3cb343eb80bf3e9'))
+           v(doc_id, width, height, n_pixel_bytes, pixel_md5)
+         ORDER BY doc_id""",
     "multimodal_frames" ->
-      // 1+id%6 frames per clip, every 2nd sampled; all frames share the
-      // doc's BMP dims
+      // 1+id%6 frames per clip, every 2nd sampled; frame i's dims follow
+      // the variable-size formulas (1+(id+3i)%16) × (1+(id+5i)%12)
       """SELECT d.doc_id, CAST(f.i AS INT) AS frame_idx,
-                CAST(1 + d.doc_id % 16 AS INT) AS width,
-                CAST(1 + d.doc_id % 12 AS INT) AS height
+                CAST(1 + (d.doc_id + 3*f.i) % 16 AS INT) AS width,
+                CAST(1 + (d.doc_id + 5*f.i) % 12 AS INT) AS height
          FROM documents d,
               LATERAL (SELECT unnest(generate_series(0,
                          CAST(d.doc_id % 6 AS INT), 2)) AS i) f

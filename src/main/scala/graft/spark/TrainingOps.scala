@@ -765,6 +765,17 @@ object TrainingOps {
   def syntheticBmp(id: Long): Array[Byte] = {
     val w = (1 + id % 16).toInt
     val h = (1 + id % 12).toInt
+    syntheticBmpPattern(id, w, h, black = true)
+  }
+
+  /** Deterministic 24-bit BMP with a NON-uniform pixel pattern (unless
+    * `black`): pixel at image column x, top-based row y carries
+    * B=(id+x+y)%256, G=(2x+3y)%256, R=(id+5x+7y)%256, stored bottom-up
+    * with 4-byte row padding. Non-black payloads keep the resize pixel
+    * walk honest — an off-by-one in the row offset or padding math is
+    * invisible on all-black data.
+    */
+  def syntheticBmpPattern(id: Long, w: Int, h: Int, black: Boolean = false): Array[Byte] = {
     val rowSize = ((24 * w + 31) / 32) * 4
     val imageSize = rowSize * h
     val fileSize = 54 + imageSize
@@ -773,6 +784,41 @@ object TrainingOps {
     b.put('B'.toByte).put('M'.toByte).putInt(fileSize).putInt(0).putInt(54)
     b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
       .putInt(0).putInt(imageSize).putInt(0).putInt(0).putInt(0).putInt(0)
-    b.array() // pixel region stays zeroed (all black)
+    val bytes = b.array()
+    if (!black) {
+      var y = 0
+      while (y < h) {
+        val rowOff = 54 + (h - 1 - y) * rowSize // bottom-up storage
+        var x = 0
+        while (x < w) {
+          val off = rowOff + x * 3
+          bytes(off) = ((id + x + y) % 256).toByte
+          bytes(off + 1) = ((2 * x + 3 * y) % 256).toByte
+          bytes(off + 2) = ((id + 5 * x + 7 * y) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    bytes
+  }
+
+  /** Synthetic clip with VARIABLE-size frames: a 4-byte LE frame count,
+    * then 1+id%6 all-black BMP frames where frame i has width
+    * 1+(id+3i)%16 and height 1+(id+5i)%12 — so the sampler's walk
+    * advances by a DIFFERENT declared file size per frame and any
+    * fixed-stride shortcut would desynchronize.
+    */
+  def syntheticClipVaried(id: Long): Array[Byte] = {
+    val nFrames = (1 + id % 6).toInt
+    val frames = (0 until nFrames).map { i =>
+      syntheticBmpPattern(id,
+        (1 + (id + 3 * i) % 16).toInt, (1 + (id + 5 * i) % 12).toInt, black = true)
+    }
+    val b = java.nio.ByteBuffer.allocate(4 + frames.map(_.length).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(nFrames)
+    frames.foreach(b.put)
+    b.array()
   }
 }
