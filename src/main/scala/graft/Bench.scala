@@ -17,6 +17,11 @@ object Bench {
     "q4_star_join", "q6_sessions", "dedup_exact", "dedup_minhash",
     "ann_lsh", "doc_token_stats", "doc_langid", "multimodal_decode",
     "kg_registry_payloads", "kg_full_enrich")
+  // dedup_pipeline stays out of the headline on purpose: its bench time
+  // would be dominated by materializing the ~5·10⁷-pair flood OUTPUT (the
+  // irreducible pair-list contract), not by the exact-first composition
+  // the operator exists for — DedupPipelineSpec's candidate-count bound is
+  // the scale evidence, and the driver's correctness run covers the query.
 
   def runAll(spark: SparkSession, sfDir: String): (Map[String, Double], Double) = {
     val qs = SparkEntry.queries
