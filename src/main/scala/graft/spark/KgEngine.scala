@@ -616,19 +616,27 @@ object KgEngine {
     val cd = canon.toDF()
     val names = cd.where(F.col("pred") === "Name")
       .select(F.col("subj"), F.col("obj").as("name"))
+    // ONE canon-wide pass feeds every provider's possible_fields_missing
+    // gate (lib.rs:2284-2297: consult only while some supported field is
+    // absent or below Certain): aggregate each subject's set of
+    // union-supported fields held at Certain once; each branch filters
+    // ABOVE the (subj) exchange, so the four gate subtrees canonicalize
+    // identically and ReuseExchange runs the canon scan + shuffle once
+    // (plan-asserted in ArchiveDispatchSpec).
+    val unionFields = archiveProviders.flatMap(_.supportedFields).distinct
+    val certainSets = cd
+      .where(F.col("pred").isin(unionFields.map(x => x: Any): _*) &&
+             F.col("certainty") === Certainty.Certain)
+      .groupBy("subj").agg(F.collect_set("pred").as("certain_preds"))
     val raws: Seq[DataFrame] = archiveProviders.map { p =>
       val arch = cd
         .where(F.col("pred") === "Archive" && F.col("obj") === p.archive)
         .select(F.col("subj"), F.col("certainty").as("arch_cert"))
       val proj = cd.where(F.col("pred") === p.projectField)
         .select(F.col("subj"), F.col("obj").as("project"))
-      // possible_fields_missing (lib.rs:2284-2297): consult the provider
-      // only while some supported field is absent or below Certain
-      val complete = cd
-        .where(F.col("pred").isin(p.supportedFields.map(x => x: Any): _*) &&
-               F.col("certainty") === Certainty.Certain)
-        .groupBy("subj").agg(F.countDistinct("pred").as("n_certain"))
-        .where(F.col("n_certain") === p.supportedFields.size)
+      val complete = certainSets
+        .where(F.size(F.array_intersect(F.col("certain_preds"),
+          F.lit(p.supportedFields.toArray))) === p.supportedFields.size)
         .select("subj")
       val keyed = arch.join(proj, Seq("subj"))
         .join(complete, Seq("subj"), "left_anti")
@@ -740,16 +748,26 @@ object KgEngine {
     val spark = canon.sparkSession
     import spark.implicits._
     val cd = canon.toDF()
+    // ONE canon-wide pass feeds every provider's possible_fields_missing
+    // gate (lib.rs:2284-2297: consult only while some supported field is
+    // absent or below Certain): the per-subject set of union-supported
+    // fields held at Certain aggregates once, and each branch filters
+    // ABOVE the (subj) exchange — identical exchange subtrees, so Catalyst
+    // ReuseExchange runs the canon scan + shuffle once for all four
+    // directories instead of once per branch (plan-asserted). At 100 TB
+    // the gate is the only canon-wide work in this operator; everything
+    // else joins the debian-keyed subject subset.
+    val unionFields = externalDirectoryProviders.flatMap(_.supportedFields).distinct
+    val certainSets = cd
+      .where(F.col("pred").isin(unionFields.map(x => x: Any): _*) &&
+             F.col("certainty") === Certainty.Certain)
+      .groupBy("subj").agg(F.collect_set("pred").as("certain_preds"))
     val raws: Seq[DataFrame] = externalDirectoryProviders.zipWithIndex
       .filter { case (p, _) => p.maxCertainty >= minimumCertainty }
       .map { case (p, idx) =>
-        // possible_fields_missing (lib.rs:2284-2297): consult the provider
-        // only while some supported field is absent or below Certain
-        val complete = cd
-          .where(F.col("pred").isin(p.supportedFields.map(x => x: Any): _*) &&
-                 F.col("certainty") === Certainty.Certain)
-          .groupBy("subj").agg(F.countDistinct("pred").as("n_certain"))
-          .where(F.col("n_certain") === p.supportedFields.size)
+        val complete = certainSets
+          .where(F.size(F.array_intersect(F.col("certain_preds"),
+            F.lit(p.supportedFields.toArray))) === p.supportedFields.size)
           .select("subj")
         val keyed = sources.select(F.col("subj"), F.col("package"))
           .join(complete, Seq("subj"), "left_anti")

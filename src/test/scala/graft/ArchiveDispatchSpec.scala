@@ -143,4 +143,54 @@ class ArchiveDispatchSpec extends AnyFunSuite {
     assert(plan.contains("max_by"))
     assert(!plan.contains("Window"))
   }
+
+  test("plan: the four provider gates share ONE certain-set aggregate exchange") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // every provider branch must survive optimization (ConvertToLocal-
+      // Relation + PropagateEmptyRelation prune branches whose payload or
+      // subject subset folds to empty), so seed one routed subject per
+      // archive and one Certain union-field so the gate scan is non-empty
+      val canon = Seq(
+        triple("s1", "Archive", "SourceForge", Certainty.Likely),
+        triple("s1", "SourceForge-Project", "gtab", Certainty.Likely),
+        triple("s2", "Archive", "Hackage", Certainty.Likely),
+        triple("s2", "Hackage-Package", "widget", Certainty.Likely),
+        triple("s3", "Archive", "crates.io", Certainty.Likely),
+        triple("s3", "Cargo-Crate", "widget", Certainty.Likely),
+        triple("s4", "Archive", "Pecl", Certainty.Likely),
+        triple("s4", "Pecl-Package", "widget", Certainty.Likely),
+        triple("s5", "Homepage", "https://k.example.com/", Certainty.Certain)
+      ).toDS()
+      val payloads = Seq(
+        ("SourceForge", "gtab", graft.spark.SynthRegistry.sf(1)),
+        ("Hackage", "widget", cabalPayload),
+        ("crates.io", "widget", crateJson),
+        ("Pecl", "widget", peclHtml)
+      ).toDF("archive", "project", "payload")
+      val plan = KgEngine.enrichFromArchive(canon, payloads)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      // match only exchanges whose IMMEDIATE child is the partial
+      // collect_set aggregate (a string match on the whole subtree would
+      // also catch the outer lattice exchange, which nests the live gate)
+      val gateExchanges = plan.collect {
+        case e: ShuffleExchangeExec if (e.child match {
+          case a: BaseAggregateExec =>
+            a.aggregateExpressions.exists(_.toString.contains("collect_set"))
+          case _ => false
+        }) => e
+      }
+      assert(gateExchanges.size == 1,
+        s"expected ONE live certain-set gate exchange, found ${gateExchanges.size}:\n" +
+          plan.toString.take(4000))
+      val reused = plan.collect { case r: ReusedExchangeExec => r }
+      assert(reused.size >= 3,
+        s"the other three gates must reuse it (found ${reused.size} ReusedExchange):\n" +
+          plan.toString.take(4000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

@@ -130,4 +130,39 @@ class ExternalDirectorySpec extends AnyFunSuite {
     assert(out.contains(("Homepage", "https://repology.example.org/h5")))
     assert(!out.exists(_._2.contains("6")))
   }
+
+  test("plan: the four directory gates share ONE certain-set aggregate exchange") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // a Certain union-field keeps the gate's filtered scan non-empty, or
+      // ConvertToLocalRelation + PropagateEmptyRelation prune the aggregate
+      val canon = Seq(
+        triple("s", "Version", "1.0", Certainty.Certain),
+        triple("t", "Homepage", "https://k.example.com/", Certainty.Certain)).toDS()
+      val sources = Seq(("s", "pkg5")).toDF("subj", "package")
+      val plan = KgEngine.enrichFromExternalDirectory(canon, sources, allPayloads(5))
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      // match only exchanges whose IMMEDIATE child is the partial
+      // collect_set aggregate (a string match on the whole subtree would
+      // also catch the outer lattice exchange, which nests the live gate)
+      val gateExchanges = plan.collect {
+        case e: ShuffleExchangeExec if (e.child match {
+          case a: BaseAggregateExec =>
+            a.aggregateExpressions.exists(_.toString.contains("collect_set"))
+          case _ => false
+        }) => e
+      }
+      assert(gateExchanges.size == 1,
+        s"expected ONE live certain-set gate exchange, found ${gateExchanges.size}:\n" +
+          plan.toString.take(4000))
+      val reused = plan.collect { case r: ReusedExchangeExec => r }
+      assert(reused.size >= 3,
+        s"the other three gates must reuse it (found ${reused.size} ReusedExchange):\n" +
+          plan.toString.take(4000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
