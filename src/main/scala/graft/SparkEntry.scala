@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.Window
-import graft.spark.{KgEngine, SynthPages, TrainingOps}
+import graft.spark.{BucketedStore, KgEngine, SynthPages, TrainingOps}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2 + the training-data ops). EVERY query has DuckDB oracle
@@ -378,6 +378,21 @@ object SparkEntry {
       // produce the identical canonical table — same oracle as kg_canonical
       val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
       KgEngine.extractCanonicalPreExtract(s, pages).toDF()
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred")
+    }),
+    "kg_canonical_stored" -> ((s, dir) => {
+      // the subj-bucketed publication round trip (BucketedStore): write the
+      // canonical table CLUSTERED BY subj, read it back through the catalog
+      // — content must equal kg_canonical exactly (same oracle), while the
+      // bucketed scan feeds subj-keyed consumers shuffle-free
+      // (plan-asserted in BucketedStoreSpec)
+      val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val canon = KgEngine.extractCanonical(s, pages).toDF()
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_canon_stored").getAbsolutePath
+      BucketedStore.publishBySubj(canon, "graft_canon_stored", path, buckets = 8)
+      BucketedStore.read(s, "graft_canon_stored")
         .select("subj", "pred", "obj")
         .orderBy("subj", "pred")
     }),
@@ -1294,6 +1309,9 @@ object SparkEntry {
       s"""WITH $canonicalCte
          SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
     "kg_canonical_pre" ->
+      s"""WITH $canonicalCte
+         SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
+    "kg_canonical_stored" ->
       s"""WITH $canonicalCte
          SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
     "kg_canonical_dup" ->
