@@ -298,6 +298,15 @@ object SparkEntry {
       TrainingOps.annLsh(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
     "ann_ivf" -> ((s, dir) =>
       TrainingOps.annIvf(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
+    "ann_ivf_trained" -> ((s, dir) => {
+      // the full IVF lifecycle: two Lloyd's iterations train the coarse
+      // quantizer (means rounded to 6 decimals so both engines' float
+      // summation orders agree), then retrieval probes the TRAINED cells;
+      // the oracle unrolls the same two assignment/mean steps in SQL
+      val emb = t(s, dir, "embeddings")
+      val trained = TrainingOps.trainIvfCentroids(emb, nlist = 16, iters = 2)
+      TrainingOps.annIvf(emb, cents = trained).orderBy("query_id", "rank")
+    }),
     "dedup_embedding" -> ((s, dir) => {
       // embedding-cosine near-dup over the doubled corpus: LSH-bucketed
       // candidates, exact cosine >= 0.95 (only the injected duplicates reach
@@ -896,6 +905,77 @@ object SparkEntry {
   private lazy val centroidValuesSql: String = {
     val cs = TrainingOps.centroids(nlist = 16, dim = 64)
     cs.indices.map(c => s"($c, [${cs(c).mkString(", ")}]::DOUBLE[])").mkString(",\n")
+  }
+
+  /** One Lloyd's step in SQL: assign every vector to its argmax-dot cell of
+    * `prevCte`, then rebuild each cell as the per-dimension ROUND(avg, 6)
+    * of its members — an empty cell keeps its previous position (the LEFT
+    * JOIN's COALESCE). Identical update rule to
+    * `TrainingOps.trainIvfCentroids`.
+    */
+  private def kmeansStepSql(i: Int, prevCte: String): String =
+    s"""assign$i AS (
+         SELECT vec_id, c FROM (
+           SELECT e.vec_id, $prevCte.c,
+                  row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY list_dot_product(e.emb, $prevCte.v) DESC,
+                                              $prevCte.c ASC) AS rn
+           FROM e, $prevCte) WHERE rn = 1
+       ),
+       sums$i AS (
+         SELECT a.c, d.i, round(avg(e.emb[d.i]), 6) AS m
+         FROM assign$i a JOIN e USING (vec_id) CROSS JOIN dims d
+         GROUP BY a.c, d.i
+       ),
+       ct$i AS (
+         SELECT p.c, list(COALESCE(s.m, p.x) ORDER BY p.i) AS v
+         FROM (SELECT c, d.i, v[d.i] AS x FROM $prevCte CROSS JOIN dims d) p
+         LEFT JOIN sums$i s ON s.c = p.c AND s.i = p.i
+         GROUP BY p.c
+       )"""
+
+  private lazy val annIvfTrainedOracleSql: String = {
+    s"""WITH ct0(c, v) AS (VALUES $centroidValuesSql),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+       ${kmeansStepSql(1, "ct0")},
+       ${kmeansStepSql(2, "ct1")},
+       score AS (
+         SELECT e.vec_id, ct2.c, list_dot_product(e.emb, ct2.v) AS s FROM e, ct2
+       ),
+       assign AS (
+         SELECT vec_id, c FROM (
+           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY s DESC, c ASC) AS rn
+           FROM score) WHERE rn = 1
+       ),
+       probe AS (
+         SELECT vec_id AS query_id, c FROM (
+           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY s DESC, c ASC) AS rn
+           FROM score WHERE vec_id < 10) WHERE rn <= 4
+       ),
+       cand AS (
+         SELECT p.query_id, a.vec_id
+         FROM probe p JOIN assign a USING (c)
+         WHERE a.vec_id != p.query_id
+       ),
+       scored AS (
+         SELECT cand.query_id, cand.vec_id,
+                list_dot_product(qe.emb, ce.emb) /
+                  sqrt(list_dot_product(qe.emb, qe.emb) * list_dot_product(ce.emb, ce.emb)) AS cos
+         FROM cand
+         JOIN e qe ON qe.vec_id = cand.query_id
+         JOIN e ce ON ce.vec_id = cand.vec_id
+       ),
+       ranked AS (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id ASC) AS rank
+         FROM scored
+       )
+       SELECT query_id, CAST(rank AS INT) AS rank, vec_id
+       FROM ranked WHERE rank <= 10 ORDER BY 1, 2"""
   }
 
   private lazy val annIvfOracleSql: String = {
@@ -1824,6 +1904,7 @@ object SparkEntry {
          FROM ranked WHERE rank <= 10 ORDER BY 1, 2""",
     "ann_lsh" -> annLshOracleSql,
     "ann_ivf" -> annIvfOracleSql,
+    "ann_ivf_trained" -> annIvfTrainedOracleSql,
     "dedup_embedding" ->
       s"""WITH hp(t, p, v) AS (VALUES $hyperplaneValuesSql),
          e AS (

@@ -409,6 +409,70 @@ object TrainingOps {
       (h.toDouble / Long.MaxValue.toDouble).toFloat.toDouble
     }
 
+  /** Nearest `n` cells of `v` under the IVF assignment rule: argmax dot
+    * product, ties to the lowest cell id — shared by assignment, probing,
+    * and the k-means trainer so the three can never drift apart.
+    */
+  private def nearestCells(
+      cs: Array[Array[Double]], v: Array[Float], n: Int): Array[Int] = {
+    val scores = Array.tabulate(cs.length) { c =>
+      var dot = 0.0
+      var d = 0
+      val lim = math.min(cs(c).length, v.length)
+      // double element products — reproducible by list_dot_product on
+      // DOUBLE[] (the relational oracle)
+      while (d < lim) { dot += v(d).toDouble * cs(c)(d); d += 1 }
+      (dot, c)
+    }
+    scores.sortBy { case (s, c) => (-s, c) }.take(n).map(_._2)
+  }
+
+  /** Lloyd's trainer for the IVF coarse quantizer — the offline job the
+    * deterministic seed matrix stood in for. Seeds = `centroids(nlist,
+    * dim)`; each iteration assigns every vector to its nearest cell under
+    * the SAME argmax-dot rule retrieval uses, then recomputes each cell as
+    * the element-wise mean of its members (an empty cell keeps its previous
+    * position).
+    *
+    * Scale shape: one narrow scan per iteration. The mean is a columnar
+    * `posexplode` + partial-aggregated `avg` per (cell, dimension) — rows
+    * crossing the shuffle are capped at partitions × nlist × dim partials,
+    * never the corpus — and the driver collect is exactly nlist × dim
+    * means. No vector ever crosses an exchange. `iters` is FIXED (not
+    * convergence-tested) so the run is deterministic and the relational
+    * oracle can unroll the same number of steps.
+    *
+    * Means are rounded to 6 decimals before feeding the next assignment:
+    * both engines' float sums agree to ~1e-12 relative, so quantizing at
+    * 1e-6 makes the (engine-dependent) summation order unobservable while
+    * leaving the quantizer's geometry intact.
+    */
+  def trainIvfCentroids(
+      embeddings: DataFrame,
+      nlist: Int = 16,
+      iters: Int = 2,
+      dim: Int = 64
+  ): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val ds = embeddings.select(F.col("vec_id").cast("long"), F.col("embedding"))
+      .as[(Long, Array[Float])]
+    var cs = centroids(nlist, dim)
+    for (_ <- 0 until iters) {
+      val cur = cs
+      val means = ds.map { case (_, v) => (nearestCells(cur, v, 1)(0), v) }
+        .toDF("cell", "emb")
+        .select(F.col("cell"), F.posexplode(F.col("emb")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).as("m"))
+        .collect()
+      val next = Array.tabulate(nlist, dim)((c, d) => cur(c)(d))
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cs = next
+    }
+    cs
+  }
+
   /** IVF (inverted-file) ANN — the other classic scale path beside LSH:
     * every corpus vector is assigned to its single nearest centroid cell
     * (argmax dot product, ties to the lowest cell id — one narrow pass,
@@ -423,30 +487,19 @@ object TrainingOps {
       nQueries: Int = 10,
       k: Int = 10,
       nlist: Int = 16,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      cents: Array[Array[Double]] = null  // null → the deterministic seeds
   ): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dim = 64
-    val cs = centroids(nlist, dim)
-    def topCells(v: Array[Float], n: Int): Array[Int] = {
-      val scores = Array.tabulate(nlist) { c =>
-        var dot = 0.0
-        var d = 0
-        val lim = math.min(dim, v.length)
-        // double element products — reproducible by list_dot_product on
-        // DOUBLE[] (the relational oracle)
-        while (d < lim) { dot += v(d).toDouble * cs(c)(d); d += 1 }
-        (dot, c)
-      }
-      scores.sortBy { case (s, c) => (-s, c) }.take(n).map(_._2)
-    }
+    val cs = Option(cents).getOrElse(centroids(nlist, dim))
     val ds = embeddings.select(F.col("vec_id").cast("long"), F.col("embedding"))
       .as[(Long, Array[Float])]
-    val assigned = ds.map { case (id, v) => (id, topCells(v, 1)(0)) }
+    val assigned = ds.map { case (id, v) => (id, nearestCells(cs, v, 1)(0)) }
       .toDF("vec_id", "cell")
     val probed = ds.filter(_._1 < nQueries)
-      .flatMap { case (id, v) => topCells(v, nprobe).iterator.map(c => (id, c)) }
+      .flatMap { case (id, v) => nearestCells(cs, v, nprobe).iterator.map(c => (id, c)) }
       .toDF("query_id", "cell")
     val cand = F.broadcast(probed).join(assigned, Seq("cell"))
       .where(F.col("query_id") =!= F.col("vec_id"))

@@ -51,11 +51,20 @@ class AnnRecallSpec extends AnyFunSuite {
       }.sum / brute.size
     val lsh = recall(topk(TrainingOps.annLsh(corpus)))
     val ivf = recall(topk(TrainingOps.annIvf(corpus)))
-    info(f"recall@10 vs brute: annLsh=$lsh%.3f annIvf=$ivf%.3f")
+    // the trained quantizer must do at least as well as the random seeds
+    // it replaces: after two Lloyd's iterations over 20 tight clusters the
+    // 16 cells settle onto cluster mass, so a query's probe set covers its
+    // own cluster
+    val trained = recall(topk(TrainingOps.annIvf(corpus,
+      cents = TrainingOps.trainIvfCentroids(corpus, nlist = 16, iters = 2))))
+    info(f"recall@10 vs brute: annLsh=$lsh%.3f annIvf=$ivf%.3f annIvfTrained=$trained%.3f")
     // floors the deterministic buckets actually meet, with headroom for
     // future parameter tweaks but not for a broken bucketing scheme
     assert(lsh >= 0.8, f"annLsh recall@10 $lsh%.3f below 0.8")
     assert(ivf >= 0.8, f"annIvf recall@10 $ivf%.3f below 0.8")
+    assert(trained >= ivf - 1e-9,
+      f"k-means training must not LOSE recall: trained=$trained%.3f seed=$ivf%.3f")
+    assert(trained >= 0.8, f"annIvf trained recall@10 $trained%.3f below 0.8")
   }
 
   test("recall@10 on the near-uniform testdata embeddings (reported, loose floor)") {
@@ -72,7 +81,10 @@ class AnnRecallSpec extends AnyFunSuite {
       }.sum / brute.size
     val lsh = recall(topk(TrainingOps.annLsh(corpus)))
     val ivf = recall(topk(TrainingOps.annIvf(corpus)))
-    info(f"uniform-corpus recall@10 vs brute: annLsh=$lsh%.3f annIvf=$ivf%.3f")
+    val trained = recall(topk(TrainingOps.annIvf(corpus,
+      cents = TrainingOps.trainIvfCentroids(corpus, nlist = 16, iters = 2))))
+    info(f"uniform-corpus recall@10 vs brute: annLsh=$lsh%.3f annIvf=$ivf%.3f " +
+      f"annIvfTrained=$trained%.3f")
     // measured on this corpus: annLsh 0.040 (≈16 candidates/query out of
     // 1000 — the price of 256-bucket tables on structureless vectors),
     // annIvf 0.380 (nprobe/nlist = 1/4 of the corpus scored). Floors at
