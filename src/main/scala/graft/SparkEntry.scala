@@ -405,6 +405,36 @@ object SparkEntry {
         .select("subj", "pred", "obj")
         .orderBy("subj", "pred")
     }),
+    "kg_incremental" -> ((s, dir) => {
+      // incremental maintenance of the subj-bucketed store pair: a base
+      // crawl initializes captures+triples; a delta recrawl folds in with
+      // ONE store-anchored merge join and re-extracts ONLY subjects whose
+      // winning captures changed. Decomposition by doc_id:
+      //   %10 == 0 → absent from base, arrives in the delta (new subject)
+      //   %10 == 5 → base holds a week-old corrupted capture; delta wins
+      //   %10 == 1 → delta carries an even staler corrupted recapture (no-op)
+      //   rest     → untouched; triples pass through from the store
+      // Every winner converges to the live capture, so the maintained table
+      // must equal the one-shot kg_canonical — same oracle.
+      val live = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val m = F.pmod(
+        F.regexp_extract(F.col("url"), "proj(\\d+)/", 1).cast("long"), F.lit(10))
+      def corrupt(p: org.apache.spark.sql.DataFrame, days: Int) = p
+        .withColumn("warc_ts", F.col("warc_ts") - F.expr(s"INTERVAL $days DAYS"))
+        .withColumn("text", F.concat(F.col("text"), F.lit("\nSTALE RECRAWL GARBAGE")))
+      val base = live.where(m =!= 0 && m =!= 5)
+        .unionByName(corrupt(live.where(m === 5), 7))
+      val delta = live.where(m === 0 || m === 5)
+        .unionByName(corrupt(live.where(m === 1), 14))
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_incremental").getAbsolutePath
+      graft.spark.Incremental.initStore(s, base,
+        "graft_inc_caps", "graft_inc_tri", path, buckets = 8)
+      graft.spark.Incremental.updateStore(s, delta,
+        "graft_inc_caps", "graft_inc_tri", path, buckets = 8)
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred")
+    }),
     "kg_edges" -> ((s, dir) => {
       val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
       KgEngine.edges(KgEngine.extractCanonical(s, pages))
@@ -1396,6 +1426,12 @@ object SparkEntry {
          SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
     "kg_canonical_dup" ->
       // newest capture wins; stale recrawls and same-ts duplicates are inert
+      s"""WITH $canonicalCte
+         SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
+    "kg_incremental" ->
+      // incremental == full rebuild: after the delta folds in, every winner
+      // is the live capture, so the store-maintained table must equal the
+      // one-shot canonical extraction exactly
       s"""WITH $canonicalCte
          SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
     "kg_edges" ->

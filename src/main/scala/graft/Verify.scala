@@ -17,6 +17,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // let the subj-bucketed stores anchor joins on (subj, relpath): a
+      // HashPartitioning on a subset of the join keys clusters correctly,
+      // and the capture-merge join (Incremental) must not reshuffle the
+      // store side. Performance-only — plans stay correct either way.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

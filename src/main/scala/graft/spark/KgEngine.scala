@@ -89,7 +89,7 @@ object KgEngine {
     Some((url.substring(0, projEnd + 1), url.substring(projEnd + 1)))
   }
 
-  private def subjBasename(subj: String): String = {
+  private[spark] def subjBasename(subj: String): String = {
     val t = subj.reverse.dropWhile(_ == '/').reverse
     t.substring(t.lastIndexOf('/') + 1)
   }
@@ -104,7 +104,7 @@ object KgEngine {
     * as (subj, relpath, warc_ts_millis, text). Only candidates survive, so
     * `html` and the non-candidate bulk never reach the exchange.
     */
-  private def candidateRows(spark: SparkSession, pages: DataFrame)
+  private[spark] def candidateRows(spark: SparkSession, pages: DataFrame)
       : Dataset[(String, String, Long, String)] = {
     import spark.implicits._
     // a null warc_ts (real crawls have captures with missing timestamps) must
@@ -893,7 +893,7 @@ object KgEngine {
       if (t.certainty < 0) None else Some(t.certainty),
       if (t.origin.isEmpty) None else Some(t.origin))
 
-  private def datumToTriple(subj: String)(d: graft.core.Datum): CanonTriple = {
+  private[spark] def datumToTriple(subj: String)(d: graft.core.Datum): CanonTriple = {
     val (obj, objJson) = objForms(d.value)
     CanonTriple(subj, d.field, obj, objJson,
       d.certainty.getOrElse(-1), d.origin.getOrElse(""))
