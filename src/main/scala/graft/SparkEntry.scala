@@ -435,6 +435,41 @@ object SparkEntry {
         .select("subj", "pred", "obj")
         .orderBy("subj", "pred")
     }),
+    "kg_incremental_log" -> ((s, dir) => {
+      // merge-on-read maintenance (the per-batch O(churn) path): base store +
+      // TWO appended delta batches, read through the base ⊕ log view. Same
+      // churn decomposition as kg_incremental, plus %10==7 changing in BOTH
+      // batches (an intermediate corrupted version in batch 1, the live one
+      // in batch 2) — the latest batch must win. Every winner converges to
+      // the live capture, so the view equals the one-shot kg_canonical.
+      val live = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val m = F.pmod(
+        F.regexp_extract(F.col("url"), "proj(\\d+)/", 1).cast("long"), F.lit(10))
+      def corrupt(p: org.apache.spark.sql.DataFrame, days: Int) = p
+        .withColumn("warc_ts", F.col("warc_ts") - F.expr(s"INTERVAL $days DAYS"))
+        .withColumn("text", F.concat(F.col("text"), F.lit("\nSTALE RECRAWL GARBAGE")))
+      val base = live.where(m =!= 0 && m =!= 5)
+        .unionByName(corrupt(live.where(m === 5), 7))
+      val batch1 = live.where(m === 0 || m === 5)
+        .unionByName(corrupt(live.where(m === 1), 14))
+        .unionByName(corrupt(live.where(m === 7), 2))
+      val batch2 = live.where(m === 7)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAYS"))
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_incremental_log").getAbsolutePath
+      graft.spark.Incremental.initStore(s, base,
+        "graft_incl_caps", "graft_incl_tri", path, buckets = 8)
+      graft.spark.Incremental.initLogs(s, s"$path/clog", s"$path/tlog")
+      graft.spark.Incremental.appendDelta(s, batch1, "graft_incl_caps",
+        s"$path/clog", s"$path/tlog", batch = 1)
+      graft.spark.Incremental.appendDelta(s, batch2, "graft_incl_caps",
+        s"$path/clog", s"$path/tlog", batch = 2)
+      graft.spark.Incremental.currentTriples(
+        graft.spark.BucketedStore.read(s, "graft_incl_tri"),
+        graft.spark.Incremental.readLog(s, s"$path/tlog"))
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred")
+    }),
     "kg_edges" -> ((s, dir) => {
       val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
       KgEngine.edges(KgEngine.extractCanonical(s, pages))
@@ -1432,6 +1467,11 @@ object SparkEntry {
       // incremental == full rebuild: after the delta folds in, every winner
       // is the live capture, so the store-maintained table must equal the
       // one-shot canonical extraction exactly
+      s"""WITH $canonicalCte
+         SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
+    "kg_incremental_log" ->
+      // the merge-on-read view after two appended batches converges to the
+      // same live corpus — identical closed form
       s"""WITH $canonicalCte
          SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
     "kg_edges" ->

@@ -13,14 +13,43 @@ import graft.spark.{BucketedStore, Incremental, KgEngine, SynthPages}
   */
 class IncrementalSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_spec_inc")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark: SparkSession = {
+    // stale stores/logs from an earlier run would leak into this one
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File("/tmp/graft_inc_spec"))
+    // in the full-suite JVM getOrCreate returns another suite's session, so
+    // every conf this spec depends on is (re)set per test scope, not here
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_spec_inc")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  /** Plan-shape scope: AQE off, broadcast off (forces the real SMJ paths on
+    * this tiny corpus), subset co-partitioning on (the production setting —
+    * Verify/Bench sessions set it; the shared suite JVM may not have).
+    */
+  private def withStablePlans[A](body: => A): A = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCp = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try body
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", prevCp)
+    }
+  }
 
   private lazy val docs = spark.read
     .parquet("/root/testdata/sf0.001/documents.parquet").where("doc_id < 60")
@@ -126,10 +155,127 @@ class IncrementalSpec extends AnyFunSuite {
       "all-stale delta → triples pass through unchanged")
   }
 
-  test("the capture-merge join never reshuffles the store side") {
+  test("log mode: two appended batches ⊕ base == full rebuild (incl. a re-changed subject)") {
+    val root = "/tmp/graft_inc_spec/log1"
+    Incremental.initStore(spark, basePages, "lg_caps", "lg_tri", root, buckets = 8)
+    Incremental.initLogs(spark, s"$root/clog", s"$root/tlog")
+    // batch 1: today's delta (new %10==0 subjects, changed %10==5, stale
+    // %10==1 recaptures) PLUS an intermediate corrupted version of %10==7
+    val batch1 = deltaPages.unionByName(
+      corrupt(live.where(docMod(10) === 7), days = 2))
+    Incremental.appendDelta(spark, batch1, "lg_caps",
+      s"$root/clog", s"$root/tlog", batch = 1)
+    // batch 2: %10==7 re-changes to the live content — latest batch must win
+    val batch2 = live.where(docMod(10) === 7)
+      .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAYS"))
+    Incremental.appendDelta(spark, batch2, "lg_caps",
+      s"$root/clog", s"$root/tlog", batch = 2)
+
+    val view = Incremental.currentTriples(
+      BucketedStore.read(spark, "lg_tri"),
+      Incremental.readLog(spark, s"$root/tlog"))
+    assertSame(view,
+      KgEngine.extractCanonical(spark,
+        basePages.unionByName(batch1).unionByName(batch2)).toDF(),
+      "base ⊕ log view must equal the full rebuild over all batches")
+    // and the capture view equals the winners of everything ever crawled
+    val capView = Incremental.currentCaptures(
+      BucketedStore.read(spark, "lg_caps"),
+      Incremental.readLog(spark, s"$root/clog"))
+    val allWinners = Incremental.captureWinners(spark,
+      basePages.unionByName(batch1).unionByName(batch2))
+    assert(capView.select("subj", "relpath", "ts", "md5")
+      .except(allWinners.select("subj", "relpath", "ts", "md5")).isEmpty &&
+      capView.count() == allWinners.count(),
+      "capture view must equal the one-shot winners")
+
+    // compaction folds the logs into fresh bucketed tables; the view of the
+    // compacted state (with its fresh empty logs) is unchanged
+    Incremental.compact(spark, "lg_caps", "lg_tri",
+      s"$root/clog", s"$root/tlog", "lg_caps_c", "lg_tri_c", s"$root/c")
+    assertSame(
+      Incremental.currentTriples(
+        BucketedStore.read(spark, "lg_tri_c"),
+        Incremental.readLog(spark, s"$root/c/tlog")),
+      view, "compaction must not change the view")
+    // and a further batch appends against the compacted base
+    Incremental.appendDelta(spark,
+      corrupt(live.where(docMod(10) === 3), days = -3), // NEWER corrupt content
+      "lg_caps_c", s"$root/c/clog", s"$root/c/tlog", batch = 1)
+    val after = Incremental.currentTriples(
+      BucketedStore.read(spark, "lg_tri_c"),
+      Incremental.readLog(spark, s"$root/c/tlog"))
+    assertSame(after,
+      KgEngine.extractCanonical(spark,
+        basePages.unionByName(batch1).unionByName(batch2)
+          .unionByName(corrupt(live.where(docMod(10) === 3), days = -3))).toDF(),
+      "post-compaction appends must keep matching the full rebuild")
+  }
+
+  test("log mode: a tombstoned subject's base rows do not resurrect") {
+    import spark.implicits._
+    val baseTri = Seq(
+      ("https://replay.invalid/projA/", "Name", "projA", "", 3, "m"),
+      ("https://replay.invalid/projB/", "Name", "projB", "", 3, "m"))
+      .toDF("subj", "pred", "obj", "obj_json", "certainty", "origin")
+    // projA re-extracted to NOTHING in batch 1 → only its tombstone is logged
+    val tlog = Seq(
+      ("https://replay.invalid/projA/", Incremental.TombstonePred, "", "", -1, "", 1))
+      .toDF("subj", "pred", "obj", "obj_json", "certainty", "origin", "batch")
+    val view = Incremental.currentTriples(baseTri, tlog)
+    assert(view.collect().map(_.getString(0)).toSet ==
+      Set("https://replay.invalid/projB/"),
+      "projA must be shadowed by its tombstone, projB untouched")
+    assert(view.where(F.col("pred") === Incremental.TombstonePred).isEmpty,
+      "tombstones never surface in the view")
+  }
+
+  private def assertBaseNotShuffled(df: org.apache.spark.sql.DataFrame,
+                                    path: String, what: String): Unit = {
+    val plan = df.queryExecution.executedPlan
+    val underShuffle = plan.collect { case e: ShuffleExchangeExec => e }
+      .flatMap(_.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(path)) => s
+      })
+    assert(underShuffle.isEmpty, s"$what must not shuffle the base side:\n$plan")
+  }
+
+  test("log mode: base tables are scanned, never shuffled") {
+    val root = "/tmp/graft_inc_spec/log2"
+    Incremental.initStore(spark, basePages, "lg2_caps", "lg2_tri", root, buckets = 8)
+    Incremental.initLogs(spark, s"$root/clog", s"$root/tlog")
+    Incremental.appendDelta(spark, deltaPages, "lg2_caps",
+      s"$root/clog", s"$root/tlog", batch = 1)
+
+    // the batch's replacing-rows lookup: with broadcast off the join is
+    // forced to sort-merge — the bucketed base scan must anchor it
+    withStablePlans {
+      assertBaseNotShuffled(
+        Incremental.replacingRows(
+          BucketedStore.read(spark, "lg2_caps"),
+          Incremental.readLog(spark, s"$root/clog"),
+          Incremental.captureWinners(spark, deltaPages)),
+        "log2/captures", "replacingRows")
+    }
+    // the read views anti-join the SMALL log key sets — those broadcast
+    // (default threshold), leaving the base scan exchange-free
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
+      assertBaseNotShuffled(
+        Incremental.currentTriples(BucketedStore.read(spark, "lg2_tri"),
+          Incremental.readLog(spark, s"$root/tlog")),
+        "log2/triples", "currentTriples")
+      assertBaseNotShuffled(
+        Incremental.currentCaptures(BucketedStore.read(spark, "lg2_caps"),
+          Incremental.readLog(spark, s"$root/clog")),
+        "log2/captures", "currentCaptures")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("the capture-merge join never reshuffles the store side") {
+    withStablePlans {
       Incremental.initStore(spark, basePages, "inc_caps4", "inc_tri4",
         "/tmp/graft_inc_spec/s4", buckets = 8)
       val merged = Incremental.mergeCaptures(
@@ -151,6 +297,6 @@ class IncrementalSpec extends AnyFunSuite {
       }
       assert(storeScans.nonEmpty && storeScans.forall(_.bucketedScan),
         s"store side must be the bucketed scan:\n$plan")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 }
