@@ -439,9 +439,10 @@ object SparkEntry {
       // merge-on-read maintenance (the per-batch O(churn) path): base store +
       // TWO appended delta batches, read through the base ⊕ log view. Same
       // churn decomposition as kg_incremental, plus %10==7 changing in BOTH
-      // batches (an intermediate corrupted version in batch 1, the live one
-      // in batch 2) — the latest batch must win. Every winner converges to
-      // the live capture, so the view equals the one-shot kg_canonical.
+      // batches (a NEWER corrupted version in batch 1, the live content — 3
+      // days ahead, beating batch 1's +2d — in batch 2): the latest batch's
+      // re-extraction must win the view. Every winner converges to the live
+      // capture, so the view equals the one-shot kg_canonical.
       val live = SynthPages.fromDocuments(t(s, dir, "documents"))
       val m = F.pmod(
         F.regexp_extract(F.col("url"), "proj(\\d+)/", 1).cast("long"), F.lit(10))
@@ -452,9 +453,9 @@ object SparkEntry {
         .unionByName(corrupt(live.where(m === 5), 7))
       val batch1 = live.where(m === 0 || m === 5)
         .unionByName(corrupt(live.where(m === 1), 14))
-        .unionByName(corrupt(live.where(m === 7), 2))
+        .unionByName(corrupt(live.where(m === 7), -2))
       val batch2 = live.where(m === 7)
-        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAYS"))
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 3 DAYS"))
       val path = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_incremental_log").getAbsolutePath
       graft.spark.Incremental.initStore(s, base,
@@ -469,6 +470,40 @@ object SparkEntry {
         graft.spark.Incremental.readLog(s, s"$path/tlog"))
         .select("subj", "pred", "obj")
         .orderBy("subj", "pred")
+    }),
+    "kg_incremental_stats" -> ((s, dir) => {
+      // per-batch maintenance lineage from the logs alone: batch 1 changes
+      // the %10∈{0,5} subjects (every capture replaced AND content-changed,
+      // their full triple sets re-extracted); batch 2 is a pure ts refresh
+      // of %10==2 (captures replaced, nothing changed, nothing re-extracted)
+      // plus an inert stale recapture of %10==1. Counts are closed-form:
+      // files per subject = 2 + 3·[flavor=4], triples from the expected CTE.
+      val live = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val m = F.pmod(
+        F.regexp_extract(F.col("url"), "proj(\\d+)/", 1).cast("long"), F.lit(10))
+      def corrupt(p: org.apache.spark.sql.DataFrame, days: Int) = p
+        .withColumn("warc_ts", F.col("warc_ts") - F.expr(s"INTERVAL $days DAYS"))
+        .withColumn("text", F.concat(F.col("text"), F.lit("\nSTALE RECRAWL GARBAGE")))
+      val base = live.where(m =!= 0 && m =!= 5)
+        .unionByName(corrupt(live.where(m === 5), 7))
+      val batch1 = live.where(m === 0 || m === 5)
+        .unionByName(corrupt(live.where(m === 1), 14))
+      val batch2 = live.where(m === 2)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAYS"))
+        .unionByName(corrupt(live.where(m === 1), 14))
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_incremental_stats").getAbsolutePath
+      graft.spark.Incremental.initStore(s, base,
+        "graft_incs_caps", "graft_incs_tri", path, buckets = 8)
+      graft.spark.Incremental.initLogs(s, s"$path/clog", s"$path/tlog")
+      graft.spark.Incremental.appendDelta(s, batch1, "graft_incs_caps",
+        s"$path/clog", s"$path/tlog", batch = 1)
+      graft.spark.Incremental.appendDelta(s, batch2, "graft_incs_caps",
+        s"$path/clog", s"$path/tlog", batch = 2)
+      graft.spark.Incremental.batchStats(
+        graft.spark.Incremental.readLog(s, s"$path/clog"),
+        graft.spark.Incremental.readLog(s, s"$path/tlog"))
+        .orderBy("batch")
     }),
     "kg_edges" -> ((s, dir) => {
       val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
@@ -1474,6 +1509,31 @@ object SparkEntry {
       // same live corpus — identical closed form
       s"""WITH $canonicalCte
          SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
+    "kg_incremental_stats" ->
+      // batch 1 = every capture of the %10∈{0,5} subjects replaced and
+      // changed + their full expected triple sets; batch 2 = the %10==2
+      // ts refresh (replaced, nothing changed/re-extracted)
+      s"""WITH $canonicalCte,
+         f AS (SELECT doc_id, doc_id % 10 AS m,
+                 2 + CASE WHEN doc_id % 8 = 4 THEN 3 ELSE 0 END AS files
+               FROM d),
+         e AS (SELECT f.doc_id, f.m, cnt.n FROM f
+               JOIN (SELECT doc_id, count(*) AS n FROM expected GROUP BY 1) cnt
+                 ON cnt.doc_id = f.doc_id)
+         SELECT CAST(1 AS INT) AS batch,
+           CAST((SELECT sum(files) FROM f WHERE m IN (0, 5)) AS BIGINT)
+             AS replaced_captures,
+           CAST((SELECT sum(files) FROM f WHERE m IN (0, 5)) AS BIGINT)
+             AS changed_captures,
+           CAST((SELECT count(*) FROM f WHERE m IN (0, 5)) AS BIGINT)
+             AS changed_subjects,
+           CAST((SELECT sum(n) FROM e WHERE m IN (0, 5)) AS BIGINT)
+             AS appended_triples
+         UNION ALL
+         SELECT CAST(2 AS INT),
+           CAST((SELECT sum(files) FROM f WHERE m = 2) AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         ORDER BY batch""",
     "kg_edges" ->
       s"""WITH $canonicalCte
          SELECT subj AS src, pred, obj AS dst FROM expected

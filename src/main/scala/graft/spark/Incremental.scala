@@ -295,11 +295,17 @@ object Incremental {
       batch: Int): Unit = {
     require(batch > 0, "batch 0 is the empty init batch")
     val baseCaps = BucketedStore.read(spark, capturesTable)
-    val clog = readLog(spark, clogPath)
+    // STRICTLY earlier batches only: a crashed batch leaves its own
+    // directories behind, and a retry that read its own half-written rows
+    // would see the delta as already-current, overwrite batch=N as empty,
+    // and lose the batch. Filtering to batch < N makes the retry recompute
+    // the identical rows no matter what the failed attempt persisted.
+    val clog = readLog(spark, clogPath).where(F.col("batch") < batch)
     replacingRows(baseCaps, clog, captureWinners(spark, deltaPages))
       .write.mode("overwrite").parquet(s"$clogPath/batch=$batch")
 
     val clog2 = readLog(spark, clogPath) // now includes this batch
+      .where(F.col("batch") <= batch)    // and never anything later
     val changedSubjs = clog2
       .where(F.col("batch") === batch && F.col("changed"))
       .select("subj").distinct()
@@ -336,6 +342,22 @@ object Incremental {
       .select(F.col("subj"), F.col("relpath"), F.col("ts"), F.col("md5"),
         F.col("text"),
         (F.col("c_md5").isNull || F.col("md5") =!= F.col("c_md5")).as("changed"))
+  }
+
+  /** Per-batch maintenance lineage from the logs alone (no base scan):
+    * (batch, replaced_captures, changed_captures, changed_subjects,
+    * appended_triples) — the observability row a production batch reports
+    * next to KgJob's bucket lineage. Tombstones don't count as triples;
+    * batch 0 (the empty init marker) is excluded.
+    */
+  def batchStats(clog: DataFrame, tlog: DataFrame): DataFrame = {
+    val caps = clog.where(F.col("batch") > 0).groupBy("batch").agg(
+      F.count(F.lit(1)).as("replaced_captures"),
+      F.count_if(F.col("changed")).as("changed_captures"))
+    val tris = tlog.where(F.col("batch") > 0).groupBy("batch").agg(
+      F.count_if(F.col("pred") === TombstonePred).as("changed_subjects"),
+      F.count_if(F.col("pred") =!= TombstonePred).as("appended_triples"))
+    caps.join(tris, Seq("batch"), "full_outer").na.fill(0)
   }
 
   /** Fold the logs into fresh bucketed base tables (published under the

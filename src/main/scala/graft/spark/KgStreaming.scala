@@ -39,6 +39,41 @@ object KgStreaming {
       .start()
   }
 
+  /** Delta-crawl ingestion as a stream: arriving page files fold into the
+    * incremental capture/triple logs per microbatch through
+    * `Incremental.appendDelta` with batch = microbatch id + 1 (batch 0 is
+    * the log's init marker). foreachBatch delivery is at-least-once, but
+    * appendDelta is idempotent per batch id — it writes per-batch
+    * directories with overwrite and computes against STRICTLY earlier
+    * batches, so a microbatch retried after a partial write re-emits
+    * byte-identical directories. The current graph at any point is
+    * `Incremental.currentTriples(base, readLog(tlog))`; `compact` runs on a
+    * slow cadence outside the stream.
+    */
+  def pageDeltaStream(
+      spark: SparkSession,
+      pagesStreamDir: String,
+      capturesTable: String,
+      clogPath: String,
+      tlogPath: String,
+      checkpointDir: String,
+      pageSchema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 1
+  ): StreamingQuery = {
+    spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(pagesStreamDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        Incremental.appendDelta(batch.sparkSession, batch.toDF(),
+          capturesTable, clogPath, tlogPath, batch = batchId.toInt + 1)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Incremental registry enrichment as a stream: arriving parsed-registry
     * datum rows (subj, pred, obj, obj_json) append to a gated enrichment LOG
     * per microbatch — the SAME gate definition as `KgEngine.enrichAll`

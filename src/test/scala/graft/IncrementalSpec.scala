@@ -160,14 +160,17 @@ class IncrementalSpec extends AnyFunSuite {
     Incremental.initStore(spark, basePages, "lg_caps", "lg_tri", root, buckets = 8)
     Incremental.initLogs(spark, s"$root/clog", s"$root/tlog")
     // batch 1: today's delta (new %10==0 subjects, changed %10==5, stale
-    // %10==1 recaptures) PLUS an intermediate corrupted version of %10==7
+    // %10==1 recaptures) PLUS a NEWER corrupted version of %10==7 (negative
+    // days = a capture 2 days ahead of base) — it must replace and
+    // re-extract to garbage triples in this batch
     val batch1 = deltaPages.unionByName(
-      corrupt(live.where(docMod(10) === 7), days = 2))
+      corrupt(live.where(docMod(10) === 7), days = -2))
     Incremental.appendDelta(spark, batch1, "lg_caps",
       s"$root/clog", s"$root/tlog", batch = 1)
-    // batch 2: %10==7 re-changes to the live content — latest batch must win
+    // batch 2: %10==7 re-changes to the live content (3 days ahead, beating
+    // batch 1's +2d) — the latest batch's re-extraction must win the view
     val batch2 = live.where(docMod(10) === 7)
-      .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAYS"))
+      .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 3 DAYS"))
     Incremental.appendDelta(spark, batch2, "lg_caps",
       s"$root/clog", s"$root/tlog", batch = 2)
 
@@ -178,6 +181,12 @@ class IncrementalSpec extends AnyFunSuite {
       KgEngine.extractCanonical(spark,
         basePages.unionByName(batch1).unionByName(batch2)).toDF(),
       "base ⊕ log view must equal the full rebuild over all batches")
+    // %10==7 really did change TWICE: both batches logged triples for it
+    val tlog = Incremental.readLog(spark, s"$root/tlog")
+    val m7batches = tlog.where(subjMod(10) === 7).select("batch").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(m7batches == Set(1, 2),
+      s"the re-changed subject must re-extract in BOTH batches, got $m7batches")
     // and the capture view equals the winners of everything ever crawled
     val capView = Incremental.currentCaptures(
       BucketedStore.read(spark, "lg_caps"),
@@ -210,6 +219,98 @@ class IncrementalSpec extends AnyFunSuite {
         basePages.unionByName(batch1).unionByName(batch2)
           .unionByName(corrupt(live.where(docMod(10) === 3), days = -3))).toDF(),
       "post-compaction appends must keep matching the full rebuild")
+  }
+
+  test("merging is associative: sequential folds == one-shot winners") {
+    // three crawl generations of the same corpus with distinct (ts, text)
+    val gen1 = corrupt(live, days = 14)
+    val gen2 = corrupt(live, days = 7).where(docMod(3) =!= 0) // partial recrawl
+    val gen3 = live.where(docMod(2) === 0)                    // another partial
+    val all = gen1.unionByName(gen2).unionByName(gen3)
+    val sequential = Incremental.mergeCaptures(
+      Incremental.mergeCaptures(
+        Incremental.captureWinners(spark, gen1),
+        Incremental.captureWinners(spark, gen2)).drop("changed"),
+      Incremental.captureWinners(spark, gen3)).drop("changed")
+    val oneShot = Incremental.captureWinners(spark, all)
+    val k = Seq("subj", "relpath", "ts", "md5")
+    assert(sequential.select(k.map(F.col): _*)
+      .except(oneShot.select(k.map(F.col): _*)).isEmpty &&
+      sequential.count() == oneShot.count(),
+      "fold order must be unobservable")
+  }
+
+  test("log mode: re-running a failed batch with the same id is lossless") {
+    val root = "/tmp/graft_inc_spec/retry"
+    Incremental.initStore(spark, basePages, "rt_caps", "rt_tri", root, buckets = 8)
+    Incremental.initLogs(spark, s"$root/clog", s"$root/tlog")
+    Incremental.appendDelta(spark, deltaPages, "rt_caps",
+      s"$root/clog", s"$root/tlog", batch = 1)
+    val expected = Incremental.currentTriples(
+      BucketedStore.read(spark, "rt_tri"),
+      Incremental.readLog(spark, s"$root/tlog")).collect().toSet
+
+    // crash scenario A: batch 1 fully written, the driver dies before
+    // acknowledging — the retry must overwrite batch=1 with IDENTICAL rows
+    // (a naive retry would read its own rows as already-current and write
+    // an empty batch, losing the delta)
+    Incremental.appendDelta(spark, deltaPages, "rt_caps",
+      s"$root/clog", s"$root/tlog", batch = 1)
+    assert(Incremental.currentTriples(
+      BucketedStore.read(spark, "rt_tri"),
+      Incremental.readLog(spark, s"$root/tlog")).collect().toSet == expected,
+      "full re-run of the same batch must be a no-op")
+
+    // crash scenario B: the capture log committed but the triple log did not
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$root/tlog/batch=1"))
+    Incremental.appendDelta(spark, deltaPages, "rt_caps",
+      s"$root/clog", s"$root/tlog", batch = 1)
+    assert(Incremental.currentTriples(
+      BucketedStore.read(spark, "rt_tri"),
+      Incremental.readLog(spark, s"$root/tlog")).collect().toSet == expected,
+      "retry after a partial (captures-only) batch must restore the view")
+  }
+
+  test("streamed delta ingestion == batch appendDelta == full rebuild") {
+    val root = "/tmp/graft_inc_spec/stream"
+    Incremental.initStore(spark, basePages, "st_caps", "st_tri", root, buckets = 8)
+    Incremental.initLogs(spark, s"$root/clog", s"$root/tlog")
+    // the delta crawl arrives as TWO files → two microbatches (1 file each)
+    deltaPages.where(docMod(2) === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/in/d0")
+    deltaPages.where(docMod(2) === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/in/d1")
+    // one flat stream dir of page files
+    val in = s"$root/stream_in"
+    new java.io.File(in).mkdirs()
+    for (d <- Seq("d0", "d1");
+         f <- new java.io.File(s"$root/in/$d").listFiles()
+           if f.getName.endsWith(".parquet")) {
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(in, s"${d}_${f.getName}").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q = graft.spark.KgStreaming.pageDeltaStream(spark, in,
+      "st_caps", s"$root/clog", s"$root/tlog", s"$root/ckpt",
+      spark.read.parquet(s"$root/in/d0").schema, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    // batch 0 is the rowless init marker; both microbatches must have
+    // appended their own rows (the delta split puts live captures in each)
+    val batches = Incremental.readLog(spark, s"$root/clog")
+      .select("batch").distinct().collect().map(_.getInt(0)).toSet
+    assert(batches == Set(1, 2),
+      s"each microbatch must append under its own id, got $batches")
+    assertSame(
+      Incremental.currentTriples(
+        BucketedStore.read(spark, "st_tri"),
+        Incremental.readLog(spark, s"$root/tlog")),
+      KgEngine.extractCanonical(spark,
+        basePages.unionByName(deltaPages)).toDF(),
+      "streamed ingestion must equal the full rebuild")
   }
 
   test("log mode: a tombstoned subject's base rows do not resurrect") {
