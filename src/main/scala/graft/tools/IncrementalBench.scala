@@ -25,7 +25,10 @@ object IncrementalBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "50").toInt
-    val base = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp") + "/graft_incbench"
+    // churn = subjects with doc_id % mod == 0; mod=100 → 1%, mod=10 → 10%
+    val churnMod = sys.env.getOrElse("SPARK_GRAFT_CHURN_MOD", "100").toInt
+    val base = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp") +
+      s"/graft_incbench_m$churnMod"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 256)
@@ -44,7 +47,7 @@ object IncrementalBench {
       spark.read.parquet(s"$sfDir/documents.parquet"), scale)
     val live = SynthPages.fromDocuments(docs)
     val m = F.pmod(
-      F.regexp_extract(F.col("url"), "proj(\\d+)/", 1).cast("long"), F.lit(100))
+      F.regexp_extract(F.col("url"), "proj(\\d+)/", 1).cast("long"), F.lit(churnMod))
     def corrupt(p: DataFrame) = p
       .withColumn("warc_ts", F.col("warc_ts") - F.expr("INTERVAL 7 DAYS"))
       .withColumn("text", F.concat(F.col("text"), F.lit("\nOLD CONTENT")))
@@ -103,7 +106,8 @@ object IncrementalBench {
       s"triple counts diverged: rebuild=$nFull eager=$nInc log=$nLog")
 
     println(
-      f"""{"metric":"incremental_update","pages":$pages,"churn_pct":1.0,""" +
+      f"""{"metric":"incremental_update","pages":$pages,""" +
+      f""""churn_pct":${100.0 / churnMod}%.1f,""" +
       f""""full_rebuild_sec":$tFull%.2f,"inc_full_recrawl_sec":$tIncFull%.2f,""" +
       f""""inc_changed_only_sec":$tIncChanged%.2f,""" +
       f""""log_full_recrawl_sec":$tLogFull%.2f,""" +
