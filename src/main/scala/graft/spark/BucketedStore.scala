@@ -24,7 +24,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * TARGET deployment: aim for bucket files in the 128 MB–1 GB range at the
   * stored scale (a 100 TB canonical table wants tens of thousands of
   * buckets, not `DefaultBuckets`) — too few buckets caps downstream
-  * parallelism because one task reads one bucket.
+  * parallelism because one task reads one bucket, AND (measured, see
+  * BASELINE.md round 6) a bucket count below
+  * `spark.sql.shuffle.partitions` silently disables the anchoring
+  * entirely: EnsureRequirements prefers the larger partitioning, so both
+  * join sides reshuffle and DisableUnnecessaryBucketedScan drops the
+  * bucketed scan. Keep buckets ≥ the session's shuffle partitioning.
   *
   * The table registers in the session catalog with an EXTERNAL path, so
   * the parquet lives where the caller says (object store / HDFS in
@@ -45,7 +50,15 @@ object BucketedStore {
     // sessions and bucket-count changes (external: the drop leaves files,
     // the Overwrite write replaces them)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    df.write.format("parquet").mode(SaveMode.Overwrite)
+    // route each row to the task that owns its bucket BEFORE the write:
+    // repartition(n, subj) uses the same pmod(murmur3(subj), n) the bucket
+    // assignment does, so every task writes exactly ONE bucket file. The V1
+    // bucketed write otherwise emits a file per (task, bucket-present) pair
+    // — at 256 tasks × 256 buckets that is a 65k-small-file store whose
+    // every subsequent scan pays the footer/open overhead (measured 3-8×
+    // wall inflation on the 1.19M-page bench before this line)
+    df.repartition(buckets, org.apache.spark.sql.functions.col("subj"))
+      .write.format("parquet").mode(SaveMode.Overwrite)
       .option("path", path)
       .bucketBy(buckets, "subj")
       .sortBy("subj")

@@ -70,20 +70,26 @@ object IncrementalBench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
-    // existing store (untimed setup for the incremental legs)
-    Incremental.initStore(spark, baseCrawl, "ib_caps", "ib_tri", s"$base/store")
+    // existing store (untimed setup for the incremental legs). Buckets must
+    // be ≥ spark.sql.shuffle.partitions or EnsureRequirements prefers the
+    // larger partitioning and reshuffles BOTH join sides — the bucketed
+    // anchoring silently turns off (DisableUnnecessaryBucketedScan) and the
+    // append pays a full store shuffle it exists to avoid.
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "256").toInt
+    Incremental.initStore(spark, baseCrawl, "ib_caps", "ib_tri", s"$base/store",
+      buckets)
     val warm = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "1").toInt
     for (_ <- 0 until warm) { // JIT the extract + merge paths once
-      Incremental.updateStore(spark, changedOnly, "ib_caps", "ib_tri", s"$base/store")
-      Incremental.initStore(spark, changedOnly, "ib_w_caps", "ib_w_tri", s"$base/w")
+      Incremental.updateStore(spark, changedOnly, "ib_caps", "ib_tri", s"$base/store", buckets)
+      Incremental.initStore(spark, changedOnly, "ib_w_caps", "ib_w_tri", s"$base/w", buckets)
     }
 
     val tFull = time(Incremental.initStore(
-      spark, fullRecrawl, "ib_full_caps", "ib_full_tri", s"$base/full"))
+      spark, fullRecrawl, "ib_full_caps", "ib_full_tri", s"$base/full", buckets))
     val tIncFull = time(Incremental.updateStore(
-      spark, fullRecrawl, "ib_caps", "ib_tri", s"$base/store"))
+      spark, fullRecrawl, "ib_caps", "ib_tri", s"$base/store", buckets))
     val tIncChanged = time(Incremental.updateStore(
-      spark, changedOnly, "ib_caps", "ib_tri", s"$base/store"))
+      spark, changedOnly, "ib_caps", "ib_tri", s"$base/store", buckets))
 
     // merge-on-read log mode: per-batch cost O(churn) — base tables are
     // scanned by the lookup join, never rewritten
