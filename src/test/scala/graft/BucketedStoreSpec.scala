@@ -45,6 +45,23 @@ class BucketedStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("the publish writes exactly one data file per bucket") {
+    // the V1 bucketed write emits a file per (task, bucket-present) pair;
+    // without the pre-write repartition a many-task input × many buckets
+    // publish becomes a small-file store (measured 3-8× scan inflation at
+    // 256×256 — BASELINE.md round 6). The repartition routes by the same
+    // pmod(murmur3(subj), n) the bucket assignment uses, so each task owns
+    // one bucket and the store has exactly n data files.
+    val n = 8
+    BucketedStore.publishBySubj(
+      canon.repartition(16), // more input tasks than buckets, the bad shape
+      "canon_files", "/tmp/graft_bucketed_spec/canon_files", n)
+    val files = new java.io.File("/tmp/graft_bucketed_spec/canon_files")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == n,
+      s"expected one data file per bucket, got ${files.length}")
+  }
+
   test("round trip: the published table IS the canonical table") {
     val stored = published("canon_rt")
     assert(stored.columns.sorted.sameElements(canon.columns.sorted))
