@@ -16,10 +16,15 @@ import graft.spark.{Incremental, SynthPages}
   *   inc_changed_only  — the pre-filtered delta (just the changed pages), the
   *                       shape a diffing crawler hands the pipeline.
   *
+  * plus the merge-on-read log legs (appendDelta on both delta shapes).
+  *
   * Corpus = SPARK_GRAFT_SCALE × the sf documents table through SynthPages
-  * (same family as ScalingBench), churn = subjects with doc_id % 100 == 0.
-  * Emits one JSON line; wall numbers need a quiet window like every bench on
-  * this VM.
+  * (same family as ScalingBench); churn = subjects with
+  * doc_id % SPARK_GRAFT_CHURN_MOD == 0 (default 100 → 1%). Buckets default
+  * to 256 = the session's shuffle partitioning — below that the bucketed
+  * anchoring turns off and every incremental leg silently pays a full
+  * store shuffle (see BucketedStore). Emits one JSON line; wall numbers
+  * need a quiet window like every bench on this VM.
   */
 object IncrementalBench {
   def main(args: Array[String]): Unit = {
