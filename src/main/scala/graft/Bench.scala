@@ -22,6 +22,10 @@ object Bench {
   // irreducible pair-list contract), not by the exact-first composition
   // the operator exists for — DedupPipelineSpec's candidate-count bound is
   // the scale evidence, and the driver's correctness run covers the query.
+  // The kg_incremental* queries also stay out: they publish catalog tables
+  // and log directories as side effects (a maintenance job, not a query),
+  // and their performance story is measured by graft.tools.IncrementalBench
+  // (BASELINE.md round 6), not by a one-shot headline timing.
 
   def runAll(spark: SparkSession, sfDir: String): (Map[String, Double], Double) = {
     val qs = SparkEntry.queries

@@ -471,6 +471,42 @@ object SparkEntry {
         .select("subj", "pred", "obj")
         .orderBy("subj", "pred")
     }),
+    "kg_incremental_compact" -> ((s, dir) => {
+      // the amortized O(store) pass: fold the two-batch log into fresh
+      // bucketed base tables; the compacted triple table (with its fresh
+      // empty logs) must equal the pre-compaction view — i.e. the same
+      // live-corpus closed form as kg_incremental_log
+      val live = SynthPages.fromDocuments(t(s, dir, "documents"))
+      val m = F.pmod(
+        F.regexp_extract(F.col("url"), "proj(\\d+)/", 1).cast("long"), F.lit(10))
+      def corrupt(p: org.apache.spark.sql.DataFrame, days: Int) = p
+        .withColumn("warc_ts", F.col("warc_ts") - F.expr(s"INTERVAL $days DAYS"))
+        .withColumn("text", F.concat(F.col("text"), F.lit("\nSTALE RECRAWL GARBAGE")))
+      val base = live.where(m =!= 0 && m =!= 5)
+        .unionByName(corrupt(live.where(m === 5), 7))
+      val batch1 = live.where(m === 0 || m === 5)
+        .unionByName(corrupt(live.where(m === 1), 14))
+        .unionByName(corrupt(live.where(m === 7), -2))
+      val batch2 = live.where(m === 7)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 3 DAYS"))
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_incremental_compact").getAbsolutePath
+      graft.spark.Incremental.initStore(s, base,
+        "graft_incc_caps", "graft_incc_tri", path, buckets = 8)
+      graft.spark.Incremental.initLogs(s, s"$path/clog", s"$path/tlog")
+      graft.spark.Incremental.appendDelta(s, batch1, "graft_incc_caps",
+        s"$path/clog", s"$path/tlog", batch = 1)
+      graft.spark.Incremental.appendDelta(s, batch2, "graft_incc_caps",
+        s"$path/clog", s"$path/tlog", batch = 2)
+      graft.spark.Incremental.compact(s, "graft_incc_caps", "graft_incc_tri",
+        s"$path/clog", s"$path/tlog",
+        "graft_incc_caps_c", "graft_incc_tri_c", s"$path/c", buckets = 8)
+      graft.spark.Incremental.currentTriples(
+        graft.spark.BucketedStore.read(s, "graft_incc_tri_c"),
+        graft.spark.Incremental.readLog(s, s"$path/c/tlog"))
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred")
+    }),
     "kg_incremental_stats" -> ((s, dir) => {
       // per-batch maintenance lineage from the logs alone: batch 1 changes
       // the %10∈{0,5} subjects (every capture replaced AND content-changed,
@@ -1507,6 +1543,10 @@ object SparkEntry {
     "kg_incremental_log" ->
       // the merge-on-read view after two appended batches converges to the
       // same live corpus — identical closed form
+      s"""WITH $canonicalCte
+         SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
+    "kg_incremental_compact" ->
+      // compaction preserves the view — same live-corpus closed form
       s"""WITH $canonicalCte
          SELECT subj, pred, obj FROM expected ORDER BY subj, pred""",
     "kg_incremental_stats" ->
