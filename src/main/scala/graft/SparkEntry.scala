@@ -54,13 +54,24 @@ object SparkEntry {
   private def fullEnrich(s: SparkSession, dir: String): DataFrame = {
     val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
     import s.implicits._
-    // composing enrichAll over a LIVE extraction: one explicit subj
-    // repartition turns the extraction into shared map output — every
-    // enrichment branch reuses that exchange instead of re-running the
-    // group pass (a stored canon table needs no barrier; its re-reads are
-    // pruned scans)
+    // composing enrichAll over a LIVE extraction: the enrichment references
+    // canon three times (existing stream, completeness gate, homepage
+    // argmax). The round-6 subj repartition shared only the groupByKey
+    // exchange BELOW the summarize pass — per-consumer column pruning
+    // specialized the repartition exchange itself, so the flatMapGroups
+    // extraction re-executed once per consumer (profiled: three ~equal-CPU
+    // reduce stages under AQE). A lazy localCheckpoint truncates the plan
+    // after the extraction (guide §3.3: materialize a reused intermediate),
+    // so summarize runs exactly once per invocation and every consumer reads
+    // the materialized partitions; the checkpoint is created inside the
+    // timed query and is not shared across invocations. The repartition
+    // before it keeps hashpartitioning(subj) on the checkpointed partitions,
+    // so the gate's subj aggregate still plans exchange-free. In production
+    // (stored canon table) the same role is played by the table itself:
+    // every reference is a pruned scan.
     val canon = KgEngine.extractCanonical(s, pages).toDF()
-      .repartition(F.col("subj")).as[graft.spark.Model.CanonTriple]
+      .repartition(F.col("subj"))
+      .localCheckpoint(false).as[graft.spark.Model.CanonTriple]
     val registry = t(s, dir, "documents").select(F.col("doc_id").cast("long")).as[Long]
       .flatMap { id =>
         val subj = "https://replay.invalid/proj" + id + "/"
@@ -133,15 +144,32 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
     "q4_star_join" -> ((s, dir) => {
+      // Round 6 planned lineitem⋈orders as a sort-merge join. Both sides
+      // scale with the fact data (broadcast would be a local-only trick), so:
+      // (1) aggregate the fact BEFORE the join — the grouping key r_name is
+      //     functionally downstream of l_orderkey, so count/sum pre-aggregate
+      //     per orderkey with map-side partials and the join input drops from
+      //     |lineitem| to |distinct orderkeys| (guide §2.3 "aggregate before
+      //     you shuffle"); the pre-aggregate's exchange IS the join's
+      //     exchange, so no extra shuffle appears;
+      // (2) join the pre-aggregated fact to orders as a shuffled-hash join
+      //     (same exchanges as sort-merge, no sorts — guide §3.1; AQE
+      //     skew-split still applies).
+      // Result-identical: integer counts/centi-sums re-aggregate exactly.
       t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), F.col("l_orderkey") === F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+          F.count(F.lit(1)).as("_n_items"),
+          F.sum(centi("l_quantity")).as("_qty_centi"))
+        .join(t(s, dir, "orders").hint("shuffle_hash"),
+          F.col("l_orderkey") === F.col("o_orderkey"))
         .join(F.broadcast(t(s, dir, "customer")), F.col("o_custkey") === F.col("c_custkey"))
         .join(F.broadcast(t(s, dir, "nation")), F.col("c_nationkey") === F.col("n_nationkey"))
         .join(F.broadcast(t(s, dir, "region")), F.col("n_regionkey") === F.col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-          F.count(F.lit(1)).as("n_items"),
-          F.sum(centi("l_quantity")).as("sum_qty_centi"))
+          F.sum("_n_items").as("n_items"),
+          F.sum("_qty_centi").as("sum_qty_centi"))
         .orderBy("r_name")
     }),
     "q5_events_daily" -> ((s, dir) => {
@@ -721,8 +749,10 @@ object SparkEntry {
       // the oracle also pins the reference's field order and Likely cap
       val pages = SynthPages.fromDocuments(t(s, dir, "documents"))
       import s.implicits._
+      // same single-execution barrier as fullEnrich (guide §3.3)
       val canon = KgEngine.extractCanonical(s, pages).toDF()
-        .repartition(F.col("subj")).as[graft.spark.Model.CanonTriple]
+        .repartition(F.col("subj"))
+        .localCheckpoint(false).as[graft.spark.Model.CanonTriple]
       val docs = t(s, dir, "documents")
       val registry = docs.select(
         F.concat(F.lit("https://replay.invalid/proj"), F.col("doc_id"), F.lit("/")).as("subj"),

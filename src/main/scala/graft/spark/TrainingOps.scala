@@ -645,6 +645,29 @@ object TrainingOps {
   final case class MediaFeature(
       doc_id: Long, n_bytes: Int, width: Int, height: Int, checksum: String)
 
+  /** Lowercase hex of a byte array as ASCII bytes — the fingerprint
+    * encoding of the multimodal ops. A lookup table instead of per-byte
+    * `"%02x".format` (which allocates a Formatter per byte and measured as
+    * the dominant CPU of multimodal_decode at sf0.1 — ~1 s for 5000 blobs).
+    * Output is byte-identical.
+    */
+  private val HexDigits: Array[Byte] = "0123456789abcdef".getBytes("US-ASCII")
+
+  private def hexBytes(bytes: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xFF
+      out(2 * i) = HexDigits(v >>> 4)
+      out(2 * i + 1) = HexDigits(v & 0xF)
+      i += 1
+    }
+    out
+  }
+
+  private def hexString(bytes: Array[Byte]): String =
+    new String(hexBytes(bytes), java.nio.charset.StandardCharsets.US_ASCII)
+
   private def le32(bytes: Array[Byte], off: Int): Int =
     (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
     ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
@@ -681,11 +704,9 @@ object TrainingOps {
                 (w0, h0)
               else (1 + (n % 640), 1 + (n % 480)) // codec-free fallback shape
             md.reset()
-            val hex = bytes.map("%02x".format(_)).mkString
             MediaFeature(
               doc_id = id, n_bytes = n, width = w, height = h,
-              checksum = md.digest(hex.getBytes("US-ASCII"))
-                .map("%02x".format(_)).mkString)
+              checksum = hexString(md.digest(hexBytes(bytes))))
           }
         }
       }
@@ -746,9 +767,8 @@ object TrainingOps {
                   y2 += 1
                 }
                 md.reset()
-                val hex = out.map("%02x".format(_)).mkString
                 Iterator.single(ResizedMedia(id, w2, h2, out.length,
-                  md.digest(hex.getBytes("US-ASCII")).map("%02x".format(_)).mkString))
+                  hexString(md.digest(hexBytes(out)))))
               }
             }
           }
