@@ -12,8 +12,21 @@ import graft.spark.{BucketedStore, KgEngine, SynthPages, TrainingOps}
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Parquet schemas memoized per path: a bare-path `read.parquet` infers
+    * the schema by reading a footer — a one-task Spark job per table
+    * REFERENCE (profiled: q4 alone ran five of them per execution). A
+    * catalog table carries its schema as metadata; this memo is that
+    * metadata for the driver's bare-path tables. Data is always re-read
+    * from parquet — only the immutable schema (not results) is cached.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
+    s.read.schema(schema).parquet(path)
+  }
 
   /** Empty side tables with the operator-contract schemas, for queries that
     * exercise only part of the enrichment lifecycle.
@@ -266,8 +279,12 @@ object SparkEntry {
       val doubled = docs.select((F.col("doc_id") * 2).as("doc_id"), F.col("text"))
         .unionByName(
           docs.select((F.col("doc_id") * 2 + 1).as("doc_id"), F.col("text")))
-      val cand = TrainingOps.minhashBands(doubled).toDF()
+      // both tables feed two join sides each — materialize once (the
+      // broadcast and streamed sides of a self-join never share an
+      // exchange, so the banding flatMap would otherwise run twice)
+      val cand = TrainingOps.minhashBands(doubled).toDF().localCheckpoint(false)
       val withHash = doubled.withColumn("h", F.md5(F.col("text")))
+        .localCheckpoint(false)
       val pairs = cand.as("l").join(cand.as("r"),
           F.col("l.band") === F.col("r.band") && F.col("l.key") === F.col("r.key") &&
           F.col("l.doc_id") < F.col("r.doc_id"))

@@ -107,7 +107,13 @@ object TrainingOps {
     * composition bounds.
     */
   def minhashCandidatePairs(documents: DataFrame): DataFrame = {
-    val sigs = minhashBands(documents).toDF()
+    // materialize the signature table before the self-join: the planner
+    // otherwise executes the banding flatMap once per join side (the
+    // broadcast side and the streamed side have different plan shapes, so
+    // no exchange reuse applies — profiled as 2× the operator's CPU). At
+    // crawl scale this is the "write the fingerprints out once" step of
+    // the guide's worked example (§8.4); locally a lazy localCheckpoint.
+    val sigs = minhashBands(documents).toDF().localCheckpoint(false)
     sigs.as("l").join(sigs.as("r"),
         F.col("l.band") === F.col("r.band") &&
         F.col("l.key") === F.col("r.key") &&
@@ -118,11 +124,15 @@ object TrainingOps {
 
   def minhashDedupPairs(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
     val cand = minhashCandidatePairs(documents)
+    // the shingle-set table verifies both endpoints of every candidate pair
+    // (two joins) — materialize it once instead of recomputing the O(words)
+    // transform per side
     val docs = documents
       .select(F.col("doc_id").cast("long"), F.col("text"),
         F.split(F.col("text"), " ").as("ws"))
       .select(F.col("doc_id"),
         F.array_distinct(shingleSet("text", "ws")).as("toks"))
+      .localCheckpoint(false)
     cand
       .join(docs.withColumnRenamed("doc_id", "a").withColumnRenamed("toks", "ta"), "a")
       .join(docs.withColumnRenamed("doc_id", "b").withColumnRenamed("toks", "tb"), "b")
@@ -182,9 +192,11 @@ object TrainingOps {
     val spark = documents.sparkSession
     import spark.implicits._
     val sh = simhash(documents).as[(Long, Long)]
+    // materialized before the self-join for the same reason as
+    // minhashCandidatePairs: both join sides would re-run the signature pass
     val chunked = sh.flatMap { case (id, h) =>
       (0 until 4).iterator.map(c => (id, h, c, (h >>> (c * 16)) & 0xFFFFL))
-    }.toDF("doc_id", "simhash", "chunk", "key")
+    }.toDF("doc_id", "simhash", "chunk", "key").localCheckpoint(false)
     val cand = chunked.as("l").join(chunked.as("r"),
         F.col("l.chunk") === F.col("r.chunk") && F.col("l.key") === F.col("r.key") &&
         F.col("l.doc_id") < F.col("r.doc_id"))
@@ -228,12 +240,19 @@ object TrainingOps {
     val docs = documents.select(F.col("doc_id").cast("long").as("doc_id"), F.col("text"))
     val members = docs.withColumn("h", F.md5(F.col("text")))
     // one aggregate produces both the membership map and the representative
-    // corpus (text is functionally determined by h, so min(text) IS the text)
+    // corpus (text is functionally determined by h, so min(text) IS the
+    // text). Both tables are materialized (lazy localCheckpoint): groups
+    // feeds the near-dup operator AND the membership join, membership feeds
+    // three joins — without the barrier each consumer re-runs the md5
+    // aggregate over the full corpus (the exact pass a production pipeline
+    // would persist once).
     val groups = members.groupBy("h")
       .agg(F.min("doc_id").as("rep_id"), F.min("text").as("text"))
+      .localCheckpoint(false)
     val membership = members.select("doc_id", "h")
       .join(groups.select("h", "rep_id"), "h")
       .select("doc_id", "rep_id")
+      .localCheckpoint(false)
     val repPairs = nearOnReps(
       groups.select(F.col("rep_id").as("doc_id"), F.col("text")))
     // cross-group pairs: expand each representative pair over both groups'
@@ -548,7 +567,7 @@ object TrainingOps {
         }
         (id, t, sig)
       }
-    }.toDF("vec_id", "table", "sig")
+    }.toDF("vec_id", "table", "sig").localCheckpoint(false)
     val cand = bucketed.as("l").join(bucketed.as("r"),
         F.col("l.table") === F.col("r.table") && F.col("l.sig") === F.col("r.sig") &&
         F.col("l.vec_id") < F.col("r.vec_id"))
