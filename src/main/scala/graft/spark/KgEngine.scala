@@ -1244,7 +1244,18 @@ object KgEngine {
     val cert1 = F.when(F.col("pred") === "Repository-Browse" &&
         F.col("obj") === F.col("_derived"), F.col("_repo_cert"))
       .otherwise(F.col("certainty"))
-    val synced = joined.join(F.broadcast(sync), Seq("subj"), "left")
+    // the sync table is one row per valid-probed Repository SUBJECT — it
+    // scales with the probe fleet, the same axis the broadcastProbes guard
+    // exists for, so it follows the same choice: forced broadcast only for
+    // the explicitly-small fleet, shuffle_hash for the explicitly-large
+    // one, and Catalyst/AQE's own size statistics by default (a hard-coded
+    // F.broadcast here was the round-6 escape-hatch scale hazard)
+    val syncSized = broadcastProbes match {
+      case Some(true)  => F.broadcast(sync)
+      case Some(false) => sync.hint("shuffle_hash")
+      case None        => sync
+    }
+    val synced = joined.join(syncSized, Seq("subj"), "left")
       .select(
         F.col("subj"), F.col("pred"),
         F.when(F.col("status") === "valid", F.col("canonical_url"))

@@ -392,9 +392,12 @@ object TrainingOps {
     }
     val ds = embeddings.select(F.col("vec_id").cast("long"), F.col("embedding"))
       .as[(Long, Array[Float])]
+    // materialized once: the query side (a filter of this table) and the
+    // corpus side of the bucket join would otherwise each run the
+    // signature flatMap
     val bucketed = ds.flatMap { case (id, v) =>
       (0 until tables).iterator.map(t => (id, t, signature(v, t)))
-    }.toDF("vec_id", "table", "sig")
+    }.toDF("vec_id", "table", "sig").localCheckpoint(false)
     val queries = bucketed.where(F.col("vec_id") < nQueries)
       .withColumnRenamed("vec_id", "query_id")
     val cand = queries.join(bucketed, Seq("table", "sig"))

@@ -76,6 +76,14 @@ class EnrichPlanSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       assert(hinted.contains("BroadcastHashJoin [obj"),
         s"broadcastProbes=Some(true) did not force broadcast:\n$hinted")
+      // the fleet-scale choice governs the browse-sync side too: under
+      // Some(false) NO join in the operator may broadcast (the sync table
+      // is one row per valid-probed subject — it scales with the fleet)
+      val fleet = KgEngine.applyUrlProbes(canon, probes,
+          broadcastProbes = Some(false))
+        .queryExecution.executedPlan.toString
+      assert(!fleet.contains("BroadcastHashJoin"),
+        s"broadcastProbes=Some(false) still broadcasts a fleet-scaled side:\n$fleet")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     // results are join-strategy-invariant
     val broadcastRows = KgEngine.applyUrlProbes(canon, probes,
