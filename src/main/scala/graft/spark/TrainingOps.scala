@@ -37,10 +37,33 @@ object TrainingOps {
     */
   private def tokens(text: String): Array[String] = text.split(" ", -1)
 
+  /** `words.slice(from, from+n).mkString(" ").hashCode` without building
+    * the window or the joined string: String.hashCode is 31-Horner over
+    * chars, so folding the words' chars with a single space between them is
+    * bit-identical. The sliding+mkString form allocated a window ArraySeq
+    * plus a String per shingle and measured as the dominant allocation of
+    * the MinHash signature pass. Equivalence is property-tested
+    * (DedupPipelineSpec).
+    */
+  private[graft] def joinedHashCode(words: Array[String], from: Int, n: Int): Int = {
+    var h = 0
+    var w = from
+    val end = from + n
+    while (w < end) {
+      if (w > from) h = 31 * h + ' '
+      val s = words(w)
+      var i = 0
+      while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+      w += 1
+    }
+    h
+  }
+
   private def shingles(text: String, n: Int): Iterator[Long] = {
     val words = tokens(text)
     if (words.length < n) Iterator.single(mix64(text.hashCode.toLong))
-    else words.sliding(n).map(w => mix64(w.mkString(" ").hashCode.toLong))
+    else (0 to words.length - n).iterator
+      .map(i => mix64(joinedHashCode(words, i, n).toLong))
   }
 
   final case class MinHashSig(doc_id: Long, band: Int, key: Long)

@@ -74,13 +74,20 @@ object ProfileQueries {
         } catch { case e: Throwable =>
           System.err.println(s"[profile] explain $name: $e") }
       }
+      // PROFILE_ACTION=noop computes every column of every row and discards
+      // it (guide §1.4) — times the full computation without the count's
+      // column pruning; default mirrors the Bench action (count)
+      val useNoop = sys.env.get("PROFILE_ACTION").contains("noop")
       val walls = (0 until runs).map { i =>
         quiesce(); stages.clear()
         spark.sparkContext.setJobDescription(s"$name run$i")
         val t0 = System.nanoTime()
-        val n = try qs(name)(spark, sfDir).count()
-                catch { case e: Throwable =>
-                  System.err.println(s"[profile] $name: $e"); -1L }
+        val n = try {
+          val df = qs(name)(spark, sfDir)
+          if (useNoop) { df.write.format("noop").mode("overwrite").save(); 0L }
+          else df.count()
+        } catch { case e: Throwable =>
+          System.err.println(s"[profile] $name: $e"); -1L }
         val wall = (System.nanoTime() - t0) / 1e9
         quiesce()
         import scala.jdk.CollectionConverters._

@@ -93,4 +93,21 @@ class DedupPipelineSpec extends AnyFunSuite {
     val n = TrainingOps.dedupPipeline(corpus, threshold = 0.9).count()
     assert(n == 10000L * 9999 / 2)
   }
+
+  test("joinedHashCode is bit-identical to sliding-window mkString hashCode") {
+    // the allocation-free shingle hash must reproduce String.hashCode of
+    // the space-joined window exactly — the MinHash signatures (and so the
+    // LSH buckets) depend on it
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 200) {
+      val words = Array.fill(1 + rnd.nextInt(12))(
+        rnd.alphanumeric.take(rnd.nextInt(8)).mkString) // includes "" words
+      val n = 1 + rnd.nextInt(math.min(3, words.length))
+      for (i <- 0 to words.length - n) {
+        val expected = words.slice(i, i + n).mkString(" ").hashCode
+        assert(TrainingOps.joinedHashCode(words, i, n) == expected,
+          s"mismatch for ${words.slice(i, i + n).toList}")
+      }
+    }
+  }
 }
