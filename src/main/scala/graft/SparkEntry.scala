@@ -20,11 +20,16 @@ object SparkEntry {
     * from parquet — only the immutable schema (not results) is cached.
     */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), org.apache.spark.sql.types.StructType]()
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
+    // the table's modification time is part of the key, so a regenerated
+    // table in a long-lived driver re-infers its schema instead of being
+    // read with a stale one
+    val schema = schemaCache.computeIfAbsent(
+      (path, new java.io.File(path).lastModified),
+      _ => s.read.parquet(path).schema)
     s.read.schema(schema).parquet(path)
   }
 
@@ -293,13 +298,15 @@ object SparkEntry {
       val doubled = docs.select((F.col("doc_id") * 2).as("doc_id"), F.col("text"))
         .unionByName(
           docs.select((F.col("doc_id") * 2 + 1).as("doc_id"), F.col("text")))
-      // both tables feed two join sides each — materialize once (the
-      // broadcast and streamed sides of a self-join never share an
-      // exchange, so the banding flatMap would otherwise run twice)
-      val cand = TrainingOps.minhashBands(doubled).toDF().localCheckpoint(false)
+      // bands self-join: a shuffle-hash hint makes both sides share ONE
+      // canonical (band, key) exchange, so the banding flatMap runs once
+      // (lineage intact). The hash table feeds two differently-aliased
+      // joins (a/b endpoints) that cannot share an exchange — materialize
+      // it once instead (driver-glue stand-in for a persisted hash table).
+      val cand = TrainingOps.minhashBands(doubled).toDF()
       val withHash = doubled.withColumn("h", F.md5(F.col("text")))
         .localCheckpoint(false)
-      val pairs = cand.as("l").join(cand.as("r"),
+      val pairs = cand.as("l").join(cand.as("r").hint("shuffle_hash"),
           F.col("l.band") === F.col("r.band") && F.col("l.key") === F.col("r.key") &&
           F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").as("a"), F.col("r.doc_id").as("b")).distinct()

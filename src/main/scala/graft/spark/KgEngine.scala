@@ -89,7 +89,7 @@ object KgEngine {
     Some((url.substring(0, projEnd + 1), url.substring(projEnd + 1)))
   }
 
-  private[spark] def subjBasename(subj: String): String = {
+  private[graft] def subjBasename(subj: String): String = {
     val t = subj.reverse.dropWhile(_ == '/').reverse
     t.substring(t.lastIndexOf('/') + 1)
   }

@@ -130,14 +130,17 @@ object TrainingOps {
     * composition bounds.
     */
   def minhashCandidatePairs(documents: DataFrame): DataFrame = {
-    // materialize the signature table before the self-join: the planner
-    // otherwise executes the banding flatMap once per join side (the
-    // broadcast side and the streamed side have different plan shapes, so
-    // no exchange reuse applies — profiled as 2× the operator's CPU). At
-    // crawl scale this is the "write the fingerprints out once" step of
-    // the guide's worked example (§8.4); locally a lazy localCheckpoint.
-    val sigs = minhashBands(documents).toDF().localCheckpoint(false)
-    sigs.as("l").join(sigs.as("r"),
+    // shuffle-hash hint on the build side: without it the planner
+    // broadcasts one side, whose plan shape differs from the streamed
+    // side, and the banding flatMap executes once PER SIDE (profiled as 2×
+    // the operator's CPU). With both sides shuffled on (band, key) the two
+    // exchange subtrees are canonically identical and AQE's runtime stage
+    // cache executes the signature pass ONCE — single execution with
+    // lineage intact (no checkpoint, no storage residency), and the
+    // shuffled self-join is the only shape that works at corpus scale
+    // anyway (a signature table never broadcasts at 100 TB).
+    val sigs = minhashBands(documents).toDF()
+    sigs.as("l").join(sigs.as("r").hint("shuffle_hash"),
         F.col("l.band") === F.col("r.band") &&
         F.col("l.key") === F.col("r.key") &&
         F.col("l.doc_id") < F.col("r.doc_id"))
@@ -148,8 +151,12 @@ object TrainingOps {
   def minhashDedupPairs(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
     val cand = minhashCandidatePairs(documents)
     // the shingle-set table verifies both endpoints of every candidate pair
-    // (two joins) — materialize it once instead of recomputing the O(words)
-    // transform per side
+    // (two joins with different column aliases — aliased consumers do not
+    // share an exchange, measured): materialize it once instead of
+    // recomputing the O(words) transform per side. A lazy localCheckpoint
+    // is the sandbox stand-in for the persisted fingerprint table a
+    // production dedup pipeline writes out (guide §8.4); its blocks are
+    // executor-local, so a cluster deployment persists to storage instead.
     val docs = documents
       .select(F.col("doc_id").cast("long"), F.col("text"),
         F.split(F.col("text"), " ").as("ws"))
@@ -215,12 +222,13 @@ object TrainingOps {
     val spark = documents.sparkSession
     import spark.implicits._
     val sh = simhash(documents).as[(Long, Long)]
-    // materialized before the self-join for the same reason as
-    // minhashCandidatePairs: both join sides would re-run the signature pass
+    // shuffle-hash hint for the same reason as minhashCandidatePairs: both
+    // sides shuffled on (chunk, key) share one canonical exchange, so the
+    // signature pass executes once with lineage intact
     val chunked = sh.flatMap { case (id, h) =>
       (0 until 4).iterator.map(c => (id, h, c, (h >>> (c * 16)) & 0xFFFFL))
-    }.toDF("doc_id", "simhash", "chunk", "key").localCheckpoint(false)
-    val cand = chunked.as("l").join(chunked.as("r"),
+    }.toDF("doc_id", "simhash", "chunk", "key")
+    val cand = chunked.as("l").join(chunked.as("r").hint("shuffle_hash"),
         F.col("l.chunk") === F.col("r.chunk") && F.col("l.key") === F.col("r.key") &&
         F.col("l.doc_id") < F.col("r.doc_id"))
       .select(
@@ -266,9 +274,11 @@ object TrainingOps {
     // corpus (text is functionally determined by h, so min(text) IS the
     // text). Both tables are materialized (lazy localCheckpoint): groups
     // feeds the near-dup operator AND the membership join, membership feeds
-    // three joins — without the barrier each consumer re-runs the md5
-    // aggregate over the full corpus (the exact pass a production pipeline
-    // would persist once).
+    // three differently-aliased joins — without the barrier each consumer
+    // re-runs the md5 aggregate over the full corpus. This is the
+    // "persist the membership map" step the scaladoc above already names
+    // as the production contract; localCheckpoint is its sandbox stand-in
+    // (executor-local blocks — a cluster run persists to storage).
     val groups = members.groupBy("h")
       .agg(F.min("doc_id").as("rep_id"), F.min("text").as("text"))
       .localCheckpoint(false)
@@ -415,14 +425,18 @@ object TrainingOps {
     }
     val ds = embeddings.select(F.col("vec_id").cast("long"), F.col("embedding"))
       .as[(Long, Array[Float])]
-    // materialized once: the query side (a filter of this table) and the
-    // corpus side of the bucket join would otherwise each run the
-    // signature flatMap
-    val bucketed = ds.flatMap { case (id, v) =>
-      (0 until tables).iterator.map(t => (id, t, signature(v, t)))
-    }.toDF("vec_id", "table", "sig").localCheckpoint(false)
-    val queries = bucketed.where(F.col("vec_id") < nQueries)
-      .withColumnRenamed("vec_id", "query_id")
+    def sigRows(in: org.apache.spark.sql.Dataset[(Long, Array[Float])]) =
+      in.flatMap { case (id, v) =>
+        (0 until tables).iterator.map(t => (id, t, signature(v, t)))
+      }
+    val bucketed = sigRows(ds).toDF("vec_id", "table", "sig")
+    // query signatures from the FILTERED vectors (pushed-down vec_id
+    // predicate), not a filter of the corpus signature table: the corpus
+    // pass then has a single consumer and runs once, and at scale the
+    // query side touches nQueries vectors instead of re-bucketing the
+    // corpus (the same shape annIvf already uses)
+    val queries = sigRows(ds.filter(_._1 < nQueries))
+      .toDF("query_id", "table", "sig")
     val cand = queries.join(bucketed, Seq("table", "sig"))
       .where(F.col("query_id") =!= F.col("vec_id"))
       .select("query_id", "vec_id").distinct()
@@ -593,8 +607,10 @@ object TrainingOps {
         }
         (id, t, sig)
       }
-    }.toDF("vec_id", "table", "sig").localCheckpoint(false)
-    val cand = bucketed.as("l").join(bucketed.as("r"),
+    }.toDF("vec_id", "table", "sig")
+    // shuffle-hash hint: one canonical (table, sig) exchange feeds both
+    // sides — the bucketing flatMap executes once, lineage intact
+    val cand = bucketed.as("l").join(bucketed.as("r").hint("shuffle_hash"),
         F.col("l.table") === F.col("r.table") && F.col("l.sig") === F.col("r.sig") &&
         F.col("l.vec_id") < F.col("r.vec_id"))
       .select(F.col("l.vec_id").as("a"), F.col("r.vec_id").as("b"))

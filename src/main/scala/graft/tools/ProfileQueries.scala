@@ -18,6 +18,9 @@ object ProfileQueries {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // this block mirrors graft.Bench's session config line for line; it
+    // cannot be shared because Bench.scala is frozen for measurement — if
+    // Bench's config ever changes, update this copy to match
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toInt * 8)

@@ -33,10 +33,8 @@ object ProfileSummarize {
     }.toArray
     println(s"[summarize-profile] subjects=${bySubj.length}")
 
-    def basename(subj: String) = {
-      val t = subj.reverse.dropWhile(_ == '/').reverse
-      t.substring(t.lastIndexOf('/') + 1)
-    }
+    // the engine's own basename rule — one definition, cannot drift
+    def basename(subj: String) = graft.spark.KgEngine.subjBasename(subj)
 
     def timeIt(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
